@@ -1,0 +1,254 @@
+"""Typed configuration tree.
+
+The reference uses a two-tier config: ~283 compile-time CPP flags (`O_*`,
+run/mk.in) plus ~30 runtime Fortran namelists (run/control.in, parsed at
+source/common/UVic_ESCM.F:1135-1247).  Here both collapse into one typed
+tree of frozen dataclasses:
+
+- *feature flags* (reference CPP options) are static bools/enums; they select
+  which Python code gets traced, so jitted programs contain no dead branches;
+- *namelist parameters* are plain floats/ints threaded into the jitted step.
+
+Defaults reproduce the reference's configured run (run/mk.in Model_Options,
+run/control.in namelists).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import numpy as np
+
+
+def _replace(obj, **kw):
+    return dataclasses.replace(obj, **kw)
+
+
+# ---------------------------------------------------------------------------
+# scheme enums (reference CPP option groups that are mutually exclusive)
+# ---------------------------------------------------------------------------
+
+class TracerAdvection:
+    """tracer advection scheme (O_fct | O_quicker | default centered)."""
+    CENTERED = "centered"
+    FCT = "fct"          # Zalesak flux-corrected transport (default, mk.in)
+    QUICKER = "quicker"
+    UPSTREAM = "upstream"
+
+
+class BarotropicMode:
+    STREAM_FUNCTION = "stream_function"   # O_stream_function (default)
+    SURFACE_PRESSURE = "surface_pressure"  # O_rigid_lid_surface_pressure
+
+
+class VerticalMixing:
+    CONST = "const"       # O_constvmix (default)
+    PP = "ppmix"          # O_ppmix Pacanowski-Philander
+    TIDAL = "tidal_kv"    # O_tidal_kv addition
+
+
+class HorizontalMixing:
+    CONST = "const"       # O_consthmix (default)
+    SMAGORINSKY = "smagnl"
+    BIHARMONIC = "biharmonic"
+
+
+class Convection:
+    NCON = "ncon"         # standard ncon-pass scheme (convect.F:1)
+    FULL = "full"         # O_fullconvect, Rahmstorf complete scheme (convct2)
+
+
+# ---------------------------------------------------------------------------
+# grid config
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GridConfig:
+    """Grid construction parameters (reference: grids.F gcell/gcoord).
+
+    The standard UVic grid is 3.6 deg x 1.8 deg with 19 vertical levels
+    (source/common/size.h:27, imt=102 jmt=102 km=19 including one boundary
+    cell on each horizontal edge). The reference reads the grid from a data
+    file not present in the repo; we regenerate it with the gcell
+    cosine-stretch algorithm (grids.F:233-377).
+    """
+    imt: int = 102
+    jmt: int = 102
+    km: int = 19
+    # horizontal domain [degrees]; uniform resolution regions
+    x_bounds: Tuple[float, ...] = (0.0, 360.0)
+    x_res: Tuple[float, ...] = (3.6, 3.6)
+    y_bounds: Tuple[float, ...] = (-90.0, 90.0)
+    y_res: Tuple[float, ...] = (1.8, 1.8)
+    # vertical domain [cm]; stretched from ~50 m surface cells to ~580 m
+    # bottom cells, 19 levels, ~6000 m total depth (the reference grid file
+    # is not in the repo; these bounds reproduce its character)
+    z_bounds: Tuple[float, ...] = (0.0, 6080.0e2)
+    z_res: Tuple[float, ...] = (50.0e2, 582.0e2)
+    z_stretch: float = 1.0
+    cyclic: bool = True   # O_cyclic
+
+
+# ---------------------------------------------------------------------------
+# ocean (MOM) config — mixing namelist (control.in &mixing, &isopyc, ...)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class OceanConfig:
+    enabled: bool = True                       # O_mom
+    # timesteps [s] (control.in &tsteps)
+    dtts: float = 108000.0                     # tracer timestep
+    dtuv: float = 1125.0                       # momentum timestep
+    dtsf: float = 1125.0                       # barotropic timestep
+    # mixing (control.in &mixing)
+    am: float = 1.5e9                          # lateral viscosity [cm^2/s]
+    ah: float = 8.0e6                          # lateral diffusivity [cm^2/s]
+    kappa_m: float = 10.0                      # vertical viscosity [cm^2/s]
+    kappa_h: float = 0.35                      # vertical diffusivity [cm^2/s]
+    aidif: float = 0.5                         # implicit vertical-diffusion fraction
+    nmix: int = 16                             # steps between mixing timesteps
+    eb: bool = False                           # Euler backward (vs forward) mixing
+    ncon: int = 1                              # convection passes (ncon scheme)
+    cdbot: float = 1.3e-3                      # bottom drag coefficient
+    acor: float = 0.0                          # implicit coriolis factor
+    dampts: Tuple[float, ...] = (30.0, 60.0)   # restoring timescale [days] (T,S)
+    dampdz: Tuple[float, ...] = (50.0e2, 50.0e2)
+    # barotropic solver (control.in &riglid)
+    mxscan: int = 200
+    tolrsf: float = 5.0e8
+    # isopycnal mixing (control.in &isopyc)
+    slmx: float = 0.01                         # max isopycnal slope
+    ahisop: float = 1.2e7                      # isopycnal diffusivity [cm^2/s]
+    athkdf: float = 8.0e6                      # GM thickness diffusivity [cm^2/s]
+    del_dm: float = 0.4e-2                     # transition for scaling dimension
+    s_dm: float = 0.1e-2                       # half width scaling for dm taper
+    # scheme selection (static flags)
+    tracer_advection: str = TracerAdvection.FCT
+    barotropic: str = BarotropicMode.STREAM_FUNCTION
+    vmix: str = VerticalMixing.CONST
+    hmix: str = HorizontalMixing.CONST
+    convection: str = Convection.FULL
+    isopycmix: bool = True                     # O_isopycmix (Redi)
+    gent_mcwilliams: bool = True               # O_gent_mcwilliams
+    tidal_kv: bool = False                     # O_tidal_kv addition to kappa_h
+    sf_npt: int = 5                            # O_sf_5_point | O_sf_9_point
+    fourfil: bool = False                      # O_fourfil high-lat filtering
+    # shortwave penetration (O_shortwave)
+    shortwave: bool = False
+
+
+# ---------------------------------------------------------------------------
+# atmosphere (EMBM)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class EmbmConfig:
+    enabled: bool = True                       # O_embm
+    dtatm: float = 54000.0                     # atm timestep [s]
+    namix: int = 10                            # steps between atm mixing steps
+    # transports are solved implicitly; reference offers adi/mgrid/slap —
+    # here a single CG solver on the 5-point operator
+    solver_tol: float = 1.0e-10
+    solver_maxiter: int = 200
+    adiff: float = 0.03                        # anomaly diffusion factor (&embm)
+    rhmax: float = 0.85                        # max relative humidity before precip
+
+
+@dataclass(frozen=True)
+class IceConfig:
+    enabled: bool = True                       # O_ice
+    evp: bool = True                           # O_ice_evp dynamics
+    ndte: int = 30                             # EVP subcycles per dynamics step
+    niats: int = 1                             # advection substeps
+
+
+@dataclass(frozen=True)
+class LandConfig:
+    enabled: bool = False                      # O_mtlm (round 1: off by default)
+    segday: bool = True                        # O_mtlm_segday
+
+
+@dataclass(frozen=True)
+class SedConfig:
+    enabled: bool = False                      # O_sed
+    dtsed: float = 108000.0
+
+
+@dataclass(frozen=True)
+class BgcConfig:
+    """Biogeochemistry: none | npzd | mobi tracer suites."""
+    suite: str = "none"                        # "none" | "npzd" | "mobi"
+    carbon: bool = False                       # O_carbon (DIC)
+    carbon_13: bool = False
+    carbon_14: bool = False
+    alk: bool = False                          # O_npzd_alk
+    o2: bool = False                           # O_npzd_o2
+    nitrogen: bool = False                     # O_npzd_nitrogen
+    nitrogen_15: bool = False
+    silicon: bool = False                      # O_mobi_silicon
+    iron: bool = False                         # O_mobi_iron
+    caco3: bool = False                        # O_mobi_caco3
+    dtnpzd: float = 27000.0                    # bgc source substep [s]
+
+
+# ---------------------------------------------------------------------------
+# run control / time management
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TimeConfig:
+    runlen_days: float = 3650.0                # control.in &contrl
+    segtim_days: float = 5.0                   # coupling segment [days]
+    init: bool = True                          # cold start vs restart
+    eqyear: bool = True                        # equal-month calendar
+    year0: int = 0
+    month0: int = 1
+    day0: int = 1
+    # output intervals [days] (&diagn)
+    tsiint: float = 10.0
+    timavgint: float = 3650.0
+    restint: float = 36500.0
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh configuration for spatial domain decomposition."""
+    mesh_shape: Tuple[int, int] = (1, 1)       # devices along (y, x)
+    axis_names: Tuple[str, str] = ("y", "x")
+    halo: int = 2                              # cover FCT + GM in one exchange
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    grid: GridConfig = field(default_factory=GridConfig)
+    ocean: OceanConfig = field(default_factory=OceanConfig)
+    embm: EmbmConfig = field(default_factory=EmbmConfig)
+    ice: IceConfig = field(default_factory=IceConfig)
+    land: LandConfig = field(default_factory=LandConfig)
+    sed: SedConfig = field(default_factory=SedConfig)
+    bgc: BgcConfig = field(default_factory=BgcConfig)
+    time: TimeConfig = field(default_factory=TimeConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    dtype: str = "float64"                     # "-r8" contract; f32 for TPU perf
+
+    @property
+    def np_dtype(self):
+        return np.dtype(self.dtype)
+
+    def replace(self, **kw) -> "ModelConfig":
+        return _replace(self, **kw)
+
+
+def small_config(imt: int = 34, jmt: int = 34, km: int = 8,
+                **kw) -> ModelConfig:
+    """Small config for fast tests: ~10.8 deg x 5.4 deg, 8 levels."""
+    g = GridConfig(
+        imt=imt, jmt=jmt, km=km,
+        x_res=(360.0 / (imt - 2),) * 2,
+        y_res=(180.0 / (jmt - 2),) * 2,
+        z_bounds=(0.0, km * 200.0e2),
+        z_res=(200.0e2, 200.0e2),
+    )
+    return ModelConfig(grid=g, **kw)
