@@ -3,12 +3,14 @@
 The reference model is 64-bit throughout (`ifort -r8`, run/mk.ver:41-45);
 tests enforce the same precision contract on CPU. Multi-chip sharding is
 validated on the virtual device mesh (SURVEY.md §4e).
+
+Note: this environment preregisters a TPU-tunnel PJRT plugin through
+sitecustomize *before* conftest runs, so the platform must be forced to
+cpu via jax.config (env vars are too late).
 """
 
 import os
 
-# must be set before jax initializes
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +18,5 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,131 @@
+"""Unit tests for core numerical ops: tridiagonal solve, convection, FCT."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from uvic_tpu.ops.convection import convct_full, convct_ncon
+from uvic_tpu.ops.eos import fit_eos
+from uvic_tpu.ops.tridiag import solve_tridiag_masked
+from uvic_tpu.ops.advection import fct_flux, upstream_flux
+from uvic_tpu.ops.stencil import UP, W, S
+
+
+def test_tridiag_vs_dense():
+    rng = np.random.default_rng(1)
+    km, ncol = 12, 5
+    a = np.zeros((km, ncol)); b = np.zeros((km, ncol)); c = np.zeros((km, ncol))
+    f = rng.normal(size=(km, ncol))
+    a[1:] = -rng.uniform(0.1, 1.0, (km - 1, ncol))
+    c[:-1] = -rng.uniform(0.1, 1.0, (km - 1, ncol))
+    b = 1.0 - a - c
+    mask = np.ones((km, ncol))
+    z = solve_tridiag_masked(jnp.asarray(a), jnp.asarray(b), jnp.asarray(c),
+                             jnp.asarray(f), jnp.asarray(mask))
+    for i in range(ncol):
+        M = np.diag(b[:, i]) + np.diag(a[1:, i], -1) + np.diag(c[:-1, i], 1)
+        np.testing.assert_allclose(np.asarray(z[:, i]),
+                                   np.linalg.solve(M, f[:, i]), rtol=1e-10)
+
+
+def test_tridiag_masked_columns():
+    km, ncol = 6, 3
+    a = np.zeros((km, ncol)); c = np.zeros((km, ncol))
+    a[1:] = -0.3; c[:-1] = -0.3
+    b = 1.0 - a - c
+    f = np.ones((km, ncol))
+    mask = np.ones((km, ncol)); mask[3:, 1] = 0.0; mask[:, 2] = 0.0
+    z = np.asarray(solve_tridiag_masked(*map(jnp.asarray, (a, b, c, f, mask))))
+    assert np.isfinite(z).all()
+    assert (z[3:, 1] == 0).all() and (z[:, 2] == 0).all()
+
+
+def _conv_setup():
+    km = 6
+    zt = (np.arange(km) + 0.5) * 100.0e2
+    eos = fit_eos(zt)
+    dz = np.full(km, 100.0e2)
+    return km, eos, jnp.asarray(dz)
+
+
+def test_convection_stabilizes_and_conserves():
+    km, eos, dz = _conv_setup()
+    jmt = imt = 4
+    kmt = jnp.full((jmt, imt), km, dtype=jnp.int32)
+    # cold over warm -> statically unstable column
+    t = np.zeros((2, km, jmt, imt))
+    t[0] = np.linspace(2.0, 10.0, km)[:, None, None]   # T increasing downward
+    t[1] = 0.0
+    ts = jnp.asarray(t)
+    c = jnp.asarray(eos.c); to = jnp.asarray(eos.to); so = jnp.asarray(eos.so)
+    out = convct_full(ts, kmt, c, to, so, dz)
+    # heat conserved per column
+    np.testing.assert_allclose(
+        np.asarray((out[0] * dz[:, None, None]).sum(0)),
+        np.asarray((ts[0] * dz[:, None, None]).sum(0)), rtol=1e-12)
+    # fully mixed (the whole column was one instability)
+    assert np.asarray(out[0]).std(axis=0).max() < 1e-10
+
+    out2 = convct_ncon(ts, kmt, c, to, so, dz, ncon=km)
+    np.testing.assert_allclose(
+        np.asarray((out2[0] * dz[:, None, None]).sum(0)),
+        np.asarray((ts[0] * dz[:, None, None]).sum(0)), rtol=1e-12)
+
+
+def test_convection_stable_profile_untouched():
+    km, eos, dz = _conv_setup()
+    jmt = imt = 3
+    kmt = jnp.full((jmt, imt), km, dtype=jnp.int32)
+    t = np.zeros((2, km, jmt, imt))
+    t[0] = np.linspace(15.0, 2.0, km)[:, None, None]   # warm over cold: stable
+    ts = jnp.asarray(t)
+    out = convct_full(ts, kmt, jnp.asarray(eos.c), jnp.asarray(eos.to),
+                      jnp.asarray(eos.so), dz)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ts), atol=1e-14)
+
+
+def test_upstream_flux_divergence_conserves():
+    # closed basin, uniform tracer: fluxes must produce zero tendency
+    km, jmt, imt = 3, 6, 6
+    rng = np.random.default_rng(2)
+    vet = jnp.asarray(rng.normal(size=(km, jmt, imt)))
+    vnt = jnp.asarray(rng.normal(size=(km, jmt, imt)))
+    vbt = jnp.asarray(rng.normal(size=(km, jmt, imt)))
+    t = jnp.full((km, jmt, imt), 3.14)
+    fe, fn, fb = upstream_flux(t, vet, vnt, vbt)
+    # for constant tracer upstream flux = centered flux = 2*v*t
+    np.testing.assert_allclose(np.asarray(fe), np.asarray(2 * vet * 3.14),
+                               rtol=1e-12)
+
+
+def test_fct_no_new_extrema():
+    # 1-D advection of a hat profile in x: FCT solution must stay within
+    # the initial min/max (the whole point of the limiter)
+    km, jmt, imt = 1, 4, 34
+    dx = 1.0
+    u = 0.3
+    t0 = np.zeros((km, jmt, imt))
+    t0[..., 10:16] = 1.0
+    tmask = jnp.ones((km, jmt, imt))
+    vet = jnp.full((km, jmt, imt), u)
+    vnt = jnp.zeros((km, jmt, imt))
+    vbt = jnp.zeros((km, jmt, imt))
+    c2dt = jnp.full((km, 1, 1), 0.5)
+    cstdxt2r = jnp.full((jmt, imt), 0.5 / dx)
+    cstdyt2r = jnp.full((jmt, 1), 0.5)
+    dzt2r = jnp.full((km, 1, 1), 0.5)
+
+    t_tau = jnp.asarray(t0)
+    t_tm1 = jnp.asarray(t0)
+    for _ in range(20):
+        fe, fn, fb = fct_flux(t_tau, t_tm1, vet, vnt, vbt, tmask,
+                              c2dt, cstdxt2r, cstdyt2r, dzt2r)
+        adv_x = (fe - W(fe)) * cstdxt2r
+        t_new = t_tm1 - c2dt * adv_x
+        t_new = t_new.at[..., 0].set(t_new[..., -2])
+        t_new = t_new.at[..., -1].set(t_new[..., 1])
+        t_tm1, t_tau = t_tau, t_new
+    t_fin = np.asarray(t_tau)
+    assert t_fin.min() > -1e-10 and t_fin.max() < 1.0 + 1e-10
+    # mass conserved (cyclic interior)
+    np.testing.assert_allclose(t_fin[0, 1, 1:-1].sum(),
+                               t0[0, 1, 1:-1].sum(), rtol=1e-12)

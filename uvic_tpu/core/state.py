@@ -1,0 +1,54 @@
+"""Prognostic state pytrees.
+
+The reference keeps prognostic fields in COMMON-block slabs streamed
+through a latitude memory window with disk pointer shuffles (mw.h,
+loadmw.F, odam.F).  Here the state is a single immutable pytree of
+whole-domain arrays; leapfrog time levels are explicit fields and a step
+returns a new state (functional update — XLA buffer donation makes this
+in-place on device).
+
+Velocity fields hold the *internal mode only*; the external (barotropic)
+mode is reconstructed from the streamfunction when needed
+(loadmw.F:579-707 `add_ext_mode`).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class OceanState:
+    # tracers [nt, km, jmt, imt] at tau-1 and tau
+    tm1: jnp.ndarray
+    t: jnp.ndarray
+    # internal-mode velocity [2, km, jmt, imt] at tau-1 and tau
+    um1: jnp.ndarray
+    u: jnp.ndarray
+    # streamfunction [jmt, imt] at tau (psi0) and tau-1 (psi1)
+    # (emode.h psi(imt,jmt,1:2))
+    psi0: jnp.ndarray
+    psi1: jnp.ndarray
+    # last two barotropic solutions, for the CG initial guess
+    # (tropic.F:146-160 reads them from kflds records)
+    ptd: jnp.ndarray
+    ptdb: jnp.ndarray
+    # step counter
+    itt: jnp.ndarray
+
+
+def init_ocean_state(nt: int, km: int, jmt: int, imt: int, dtype,
+                     t_init=None) -> OceanState:
+    """Cold-start state (setmom.F idealized IC path)."""
+    zeros3 = jnp.zeros((km, jmt, imt), dtype=dtype)
+    t0 = (jnp.zeros((nt, km, jmt, imt), dtype=dtype)
+          if t_init is None else jnp.asarray(t_init, dtype=dtype))
+    z2 = jnp.zeros((jmt, imt), dtype=dtype)
+    return OceanState(
+        tm1=t0, t=t0,
+        um1=jnp.zeros((2, km, jmt, imt), dtype=dtype),
+        u=jnp.zeros((2, km, jmt, imt), dtype=dtype),
+        psi0=z2, psi1=z2, ptd=z2, ptdb=z2,
+        itt=jnp.zeros((), dtype=jnp.int32),
+    )

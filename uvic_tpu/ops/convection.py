@@ -1,0 +1,150 @@
+"""Convective adjustment schemes.
+
+TPU-native re-design of source/mom/convect.F:
+
+- ``convct_ncon``: the standard alternating-pair scheme (convect.F:1-97),
+  directly vectorized over all columns.
+- ``convct_full``: the complete-removal scheme (O_fullconvect, convct2,
+  convect.F:99-311, Rahmstorf 1993).  The reference chases instabilities
+  per column with data-dependent while loops; here the same fixed point
+  is reached by parallel *region merging*: every level starts as its own
+  region, adjacent regions are merged wherever the (thickness-weighted)
+  region means are statically unstable at the interface, and the process
+  iterates to a fixed point (at most km-1 merges per column).  Since
+  mixing is linear averaging with fixed weights, region means are always
+  computed from the original profile, so the iteration state is only the
+  per-level region label — a cummax over the column.
+
+Stability comparisons use the EOS coefficients of the *upper level of the
+lower region* (convect.F:201-204,232-235 reference potential density at
+the interface), matching statec's ``ind`` convention.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .eos import dens
+
+
+def _pair_density(eos_c, eos_to, eos_so, t, s):
+    """Densities of levels k and k+1 both referenced to level k+1's
+    coefficients, for all k (statec, state.F:64-131)."""
+    c_dn = eos_c[1:]          # coefficients of the lower level (k+1)
+    to_dn = eos_to[1:]
+    so_dn = eos_so[1:]
+    rho_up = dens(c_dn[:, None, None, :],
+                  t[:-1] - to_dn[:, None, None],
+                  s[:-1] - so_dn[:, None, None])
+    rho_dn = dens(c_dn[:, None, None, :],
+                  t[1:] - to_dn[:, None, None],
+                  s[1:] - so_dn[:, None, None])
+    return rho_up, rho_dn
+
+
+def convct_ncon(ts, kmt, eos_c, eos_to, eos_so, dztxcl, ncon: int):
+    """Standard convection scheme: ``ncon`` passes of alternating-parity
+    pair mixing (convect.F:52-89). ts is (nt, km, jmt, imt) with T=ts[0],
+    S=ts[1]; returns adjusted tracers."""
+    km = ts.shape[1]
+    w = dztxcl.reshape(km, 1, 1)
+    kk = jnp.arange(km - 1).reshape(km - 1, 1, 1)
+    below_ocean = (kk + 1 < kmt[None]).astype(ts.dtype)
+
+    def one_phase(ts, parity):
+        rho_up, rho_dn = _pair_density(eos_c, eos_to, eos_so, ts[0], ts[1])
+        unstable = (rho_up > rho_dn) & (kk % 2 == parity) & (below_ocean > 0)
+        mixed = (w[:-1] * ts[:, :-1] + w[1:] * ts[:, 1:]) / (w[:-1] + w[1:])
+        # a level is either the upper or the lower member of a pair in one
+        # parity phase, never both: apply both writes as one select
+        pad = jnp.zeros_like(unstable[:1])
+        as_up = jnp.concatenate([unstable, pad], axis=0)[None]
+        as_dn = jnp.concatenate([pad, unstable], axis=0)[None]
+        padm = mixed[:, :1]
+        mix_up = jnp.concatenate([mixed, padm], axis=1)
+        mix_dn = jnp.concatenate([padm, mixed], axis=1)
+        return jnp.where(as_up, mix_up, jnp.where(as_dn, mix_dn, ts))
+
+    for _ in range(ncon):
+        for parity in (0, 1):
+            ts = one_phase(ts, parity)
+    return ts
+
+
+def _region_means(ts, label, w):
+    """Thickness-weighted mean of each level's region, from the original
+    profile. label[k] = index of the region's top level (non-decreasing)."""
+    km = ts.shape[1]
+    idx = jnp.arange(km).reshape(km, 1, 1)
+    # region bottom: smallest region-start index below, minus one
+    start = (label == idx)
+    next_start = jnp.where(start, idx, km)
+    # reverse cummin gives, at k, the first start index at or below k
+    first_at_or_below = jax.lax.cummin(next_start, axis=0, reverse=True)
+    below = jnp.concatenate(
+        [first_at_or_below[1:], jnp.full_like(first_at_or_below[:1], km)],
+        axis=0)
+    bottom = below - 1
+
+    tw = ts * w                                    # (nt, km, j, i)
+    csum_tw = jnp.cumsum(tw, axis=1)
+    csum_w = jnp.cumsum(jnp.broadcast_to(w, ts.shape[1:]), axis=0)
+
+    def seg(c, lo, hi):
+        # sum over levels [lo, hi] along the k axis via cumsum gathers
+        c_hi = jnp.take_along_axis(c, jnp.broadcast_to(hi, c.shape), axis=-3)
+        lo_m1 = jnp.maximum(lo - 1, 0)
+        c_lom1 = jnp.take_along_axis(c, jnp.broadcast_to(lo_m1, c.shape),
+                                     axis=-3)
+        return c_hi - jnp.where(lo == 0, 0.0, c_lom1)
+
+    sum_tw = seg(csum_tw, label[None], bottom[None])
+    sum_w = seg(csum_w, label, bottom)
+    return sum_tw / sum_w
+
+
+def convct_full(ts, kmt, eos_c, eos_to, eos_so, dztxcl, max_iter=None):
+    """Complete convective adjustment (convct2 fixed point).
+
+    Returns tracers with every column's final profile statically stable:
+    any two vertically adjacent mixed regions are stable at their
+    interface w.r.t. the interface reference level.
+    """
+    nt, km = ts.shape[0], ts.shape[1]
+    if max_iter is None:
+        max_iter = km
+    w = dztxcl.reshape(km, 1, 1)
+    idx = jnp.arange(km).reshape(km, 1, 1)
+    ocean = (idx < kmt[None]).astype(ts.dtype)
+    to = eos_to[:, None, None]
+    so = eos_so[:, None, None]
+    cc = eos_c[:, None, None, :]
+
+    def body(carry):
+        label, _, it = carry
+        means = _region_means(ts[:2], label, w)    # (2, km, j, i)
+        # interface above level s (s = region start > 0): upper region mean
+        # is at s-1, lower at s; reference coefficients of level s
+        mt_up = jnp.concatenate([means[0, :1], means[0, :-1]], axis=0)
+        ms_up = jnp.concatenate([means[1, :1], means[1, :-1]], axis=0)
+        rho_up = dens(cc, mt_up - to, ms_up - so)
+        rho_dn = dens(cc, means[0] - to, means[1] - so)
+        unstable = (rho_up > rho_dn) & (ocean > 0) & (idx > 0)
+        start = (label == idx)
+        new_start = start & ~unstable
+        new_start = new_start.at[0].set(True)
+        new_label = jax.lax.cummax(
+            jnp.where(new_start, idx, -1).astype(label.dtype), axis=0)
+        changed = jnp.any(new_label != label)
+        return new_label, changed, it + 1
+
+    def cond(carry):
+        _, changed, it = carry
+        return changed & (it < max_iter)
+
+    label0 = jnp.broadcast_to(idx, ts.shape[1:]).astype(jnp.int32)
+    label, _, _ = jax.lax.while_loop(
+        cond, body, (label0, jnp.asarray(True), jnp.asarray(0)))
+    means = _region_means(ts, label, w)
+    return jnp.where(ocean[None] > 0, means, ts)
