@@ -41,14 +41,17 @@ class OceanState:
 def init_ocean_state(nt: int, km: int, jmt: int, imt: int, dtype,
                      t_init=None) -> OceanState:
     """Cold-start state (setmom.F idealized IC path)."""
-    zeros3 = jnp.zeros((km, jmt, imt), dtype=dtype)
     t0 = (jnp.zeros((nt, km, jmt, imt), dtype=dtype)
           if t_init is None else jnp.asarray(t_init, dtype=dtype))
-    z2 = jnp.zeros((jmt, imt), dtype=dtype)
+    # distinct buffers per field: steps donate the state, and XLA rejects
+    # donating one buffer twice
     return OceanState(
-        tm1=t0, t=t0,
+        tm1=t0 + 0.0, t=t0,
         um1=jnp.zeros((2, km, jmt, imt), dtype=dtype),
         u=jnp.zeros((2, km, jmt, imt), dtype=dtype),
-        psi0=z2, psi1=z2, ptd=z2, ptdb=z2,
+        psi0=jnp.zeros((jmt, imt), dtype=dtype),
+        psi1=jnp.zeros((jmt, imt), dtype=dtype),
+        ptd=jnp.zeros((jmt, imt), dtype=dtype),
+        ptdb=jnp.zeros((jmt, imt), dtype=dtype),
         itt=jnp.zeros((), dtype=jnp.int32),
     )

@@ -188,6 +188,11 @@ def make_topography(grid: Grid, kmt: np.ndarray) -> Topography:
             grown[:, 1] |= seamL
             grown[:, -2] |= seamR
         perim = grown & ocean
+        # each physical cell appears exactly once: the duplicated cyclic
+        # boundary columns must not carry perimeter entries, or island
+        # segment sums double-count and the CG island equations break
+        perim[:, 0] = False
+        perim[:, -1] = False
         collision |= perim & (perim_id >= 0)
         perim_id[perim] = isle - 1
     if collision.any():

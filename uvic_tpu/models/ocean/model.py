@@ -1,0 +1,242 @@
+"""Ocean model: assembled leapfrog step.
+
+TPU-native re-design of the per-timestep driver source/mom/mom.F.  The
+reference sweeps a latitude memory window calling kernels row-blocks at a
+time; here one jitted function computes the whole domain:
+
+    full velocities from psi -> adv_vel -> mixing coeffs -> surface BCs
+    -> tracer step -> convection -> clinic (momentum) -> barotropic CG
+    -> new state
+
+Leapfrog vs forward-mixing timesteps (mom.F:96-148) are separate traced
+variants selected by the host-side step schedule (cadence is static).
+Euler-backward mixing (eb=.true.) is not yet implemented; the reference
+default is forward mixing (run/control.in: eb=.false.).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from types import SimpleNamespace
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ...config import Convection, ModelConfig, TracerAdvection
+from ...constants import GRAV, RHO0R
+from ...core.state import OceanState, init_ocean_state
+from ...ops.convection import convct_full, convct_ncon
+from ...ops.eos import state as eos_state
+from ...ops.solvers import IslandIndex
+from ...ops.stencil import setbcx
+from .kernels import adv_vel, clinic_step, tracer_step
+from .params import OceanParams, build_ocean_params
+from .tropic import ext_mode_velocity, sfc5pt_unit, tropic_step
+
+
+@struct.dataclass
+class SurfaceForcing:
+    """Surface boundary conditions for one ocean step (csbc.h slots).
+
+    smf : (2, jmt, imt) wind stress at U cells [dyn/cm^2 / rho0 -> cm^2/s^2]
+    stf : (nt, jmt, imt) surface tracer fluxes [tracer-unit * cm/s]
+    """
+    smf: jnp.ndarray
+    stf: jnp.ndarray
+
+
+class OceanModel:
+    """Holds static config + device constants and exposes jitted steps."""
+
+    def __init__(self, params: OceanParams):
+        self.params = params
+        cfg = params.cfg
+        self.cfg = cfg
+        g = params.grid
+        topo = params.topo
+        dt = cfg.np_dtype
+
+        def jn(x):
+            return jnp.asarray(np.asarray(x), dtype=dt)
+
+        # parameter bag of device constants for the kernels
+        bag = SimpleNamespace()
+        for name in ("dxt", "dxu", "dyt", "dyu", "dzt", "dzw", "cst", "csu",
+                     "duw", "due", "dus", "dun", "dxmetr",
+                     "dxtr", "dxt2r", "dxu2r", "dxu4r", "dxur",
+                     "dytr", "dyt2r", "dyu2r", "dyu4r", "dyur",
+                     "dztr", "dzt2r", "dzwr", "dztur", "dztlr",
+                     "cstr", "csur",
+                     "cstdxt2r", "cstdxtr", "cstdxur", "csudxur",
+                     "csudxu2r", "cstdyt2r", "csudyu2r"):
+            setattr(bag, name, jn(getattr(g, name)))
+        for name in ("cori", "advmet", "amc_north", "amc_south",
+                     "ahc_north", "ahc_south", "am3", "am4", "dtxcel"):
+            setattr(bag, name, jn(getattr(params, name)))
+        bag.ah = cfg.ocean.ah
+        bag.am = cfg.ocean.am
+        bag.hr = jn(topo.hr)
+        bag.grav_rho0r = GRAV * RHO0R
+        self.g = bag
+
+        self.tmask = jn(topo.tmask)
+        self.umask = jn(topo.umask)
+        self.kmt = jnp.asarray(topo.kmt, dtype=jnp.int32)
+        self.kmu = jnp.asarray(topo.kmu, dtype=jnp.int32)
+        self.eos_c = jn(params.eos.c)
+        self.eos_to = jn(params.eos.to)
+        self.eos_so = jn(params.eos.so)
+        self.cyclic = g.cyclic
+
+        # island machinery for the barotropic solve
+        self.isl = IslandIndex(
+            perim_id=jnp.asarray(topo.perim_id),
+            nisle=topo.nisle,
+            counts=jn(topo.perim_count),
+            imain=topo.imain,
+            ocean_mask=jn((topo.land_map <= 0).astype(np.float64)),
+        )
+
+        # 5-point barotropic operator at unit timestep
+        cf_unit, cf_acor = sfc5pt_unit(
+            np.asarray(g.dxu), np.asarray(g.dyu), np.asarray(g.csu),
+            np.asarray(topo.hr),
+            f=np.asarray(params.cori[0]), acor=cfg.ocean.acor)
+        self.cf_unit = jn(cf_unit)
+        self.cf_acor = jn(cf_acor)
+
+        # mixing coefficients (constvmix; vmixc.F:63-106)
+        km, jmt, imt = g.km, g.jmt, g.imt
+        self.diff_cbt = jnp.full((km, jmt, imt), cfg.ocean.kappa_h, dtype=dt)
+        self.visc_cbu = jnp.full((km, jmt, imt), cfg.ocean.kappa_m, dtype=dt)
+        self.dztxcl = jn(g.dzt) / bag.dtxcel
+
+        self.nt = params.nt
+        self._step_leapfrog = jax.jit(partial(self._step, leapfrog=True),
+                                      donate_argnums=(0,))
+        self._step_forward = jax.jit(partial(self._step, leapfrog=False),
+                                     donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def init_state(self, t_init=None) -> OceanState:
+        g = self.params.grid
+        return init_ocean_state(self.nt, g.km, g.jmt, g.imt,
+                                self.cfg.np_dtype, t_init)
+
+    def full_velocity(self, u_int, psi):
+        """Internal + external mode, masked (loadmw.F add_ext_mode)."""
+        uext, vext = ext_mode_velocity(psi, self.g.hr, self.g.dxu2r,
+                                       self.g.dyu2r, self.g.csur)
+        u = (u_int[0] + uext[None]) * self.umask
+        v = (u_int[1] + vext[None]) * self.umask
+        u = setbcx(u, self.cyclic)
+        v = setbcx(v, self.cyclic)
+        return jnp.stack([u, v])
+
+    # ------------------------------------------------------------------
+    def _step(self, state: OceanState, forcing: SurfaceForcing, *,
+              leapfrog: bool) -> OceanState:
+        cfg = self.cfg.ocean
+        g = self.g
+
+        if leapfrog:
+            c2dtts, c2dtuv, c2dtsf = 2 * cfg.dtts, 2 * cfg.dtuv, 2 * cfg.dtsf
+            tm1, t_tau = state.tm1, state.t
+            um1_int, u_int = state.um1, state.u
+            psi0, psi1 = state.psi0, state.psi1
+        else:
+            # forward mixing step: tau-1 <- tau (mom.F:119-148)
+            c2dtts, c2dtuv, c2dtsf = cfg.dtts, cfg.dtuv, cfg.dtsf
+            tm1, t_tau = state.t, state.t
+            um1_int, u_int = state.u, state.u
+            psi0, psi1 = state.psi0, state.psi0
+
+        # full velocities at both time levels
+        u_tau = self.full_velocity(u_int, psi0)
+        u_tm1 = self.full_velocity(um1_int, psi1)
+
+        # face advection velocities (adv_vel.F)
+        vet, vnt, vbt, veu, vnu, vbu = adv_vel(
+            u_tau[0], u_tau[1], g, self.cyclic)
+
+        # surface/bottom boundary fluxes (setvbc.F)
+        smf = forcing.smf * self.umask[0][None]
+        stf = forcing.stf * self.tmask[0][None]
+        btf = jnp.zeros_like(stf)
+        if cfg.cdbot != 0.0:
+            kb = jnp.maximum(self.kmu - 1, 0)
+            ub = jnp.take_along_axis(u_tm1, kb[None, None], axis=1)[:, 0]
+            uvmag = jnp.sqrt(ub[0] ** 2 + ub[1] ** 2)
+            bmf = cfg.cdbot * ub * uvmag[None] * (self.kmu > 0)[None]
+        else:
+            bmf = jnp.zeros_like(smf)
+
+        # tracer step (tracer.F)
+        t_new = tracer_step(
+            t_tau, tm1, vet, vnt, vbt, stf, btf, None,
+            self.diff_cbt, self.kmt, self.tmask, g, c2dtts,
+            cfg.tracer_advection, cfg.aidif if cfg.isopycmix else 0.0,
+            self.cyclic)
+
+        # convective adjustment (convect.F)
+        if cfg.convection == Convection.FULL:
+            t_new = convct_full(t_new, self.kmt, self.eos_c, self.eos_to,
+                                self.eos_so, self.dztxcl)
+        else:
+            t_new = convct_ncon(t_new, self.kmt, self.eos_c, self.eos_to,
+                                self.eos_so, self.dztxcl, cfg.ncon)
+        t_new = setbcx(t_new, self.cyclic)
+
+        # baroclinic momentum step (clinic.F); density from tau tracers
+        rho = eos_state_from(self.eos_c, self.eos_to, self.eos_so, t_tau)
+        u_int_new, zu = clinic_step(
+            u_tau, u_tm1, rho, veu, vnu, vbu, smf, bmf,
+            self.visc_cbu, self.kmu, self.umask, g, c2dtuv, self.cyclic)
+
+        # barotropic streamfunction solve (tropic.F)
+        psi0n, psi1n, ptd, ptdb, iters, est, conv = tropic_step(
+            zu, psi0, psi1, state.ptd, state.ptdb,
+            self.cf_unit, self.cf_acor, self.isl,
+            g.dxu, g.dyu, g.csu, c2dtsf, cfg.tolrsf, cfg.mxscan,
+            leapfrog, self.cyclic)
+
+        return OceanState(
+            tm1=t_tau, t=t_new,
+            um1=u_int, u=u_int_new,
+            psi0=psi0n, psi1=psi1n, ptd=ptd, ptdb=ptdb,
+            itt=state.itt + 1,
+        )
+
+    # ------------------------------------------------------------------
+    def step(self, state: OceanState, forcing: SurfaceForcing,
+             leapfrog: bool = True) -> OceanState:
+        fn = self._step_leapfrog if leapfrog else self._step_forward
+        return fn(state, forcing)
+
+    def run(self, state: OceanState, forcing: SurfaceForcing,
+            nsteps: int, nmix: int | None = None) -> OceanState:
+        """Run nsteps with the reference mixing cadence: a forward step
+        every ``nmix`` steps (mom.F leapfrog control, itt%nmix==1)."""
+        nmix = nmix or self.cfg.ocean.nmix
+        for n in range(nsteps):
+            leapfrog = (int(state.itt) % nmix) != 0
+            state = self.step(state, forcing, leapfrog=leapfrog)
+        return state
+
+
+def eos_state_from(c, to, so, t):
+    """Density anomaly field from the tracer block (state.F:54-60)."""
+    from ...ops.eos import dens
+    return dens(c[:, None, None, :], t[0] - to[:, None, None],
+                t[1] - so[:, None, None])
+
+
+def make_ocean(cfg: ModelConfig | None = None, topo_kind: str = "world",
+               **kw) -> OceanModel:
+    cfg = cfg or ModelConfig()
+    params = build_ocean_params(cfg, topo_kind=topo_kind, **kw)
+    return OceanModel(params)
