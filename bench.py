@@ -1,0 +1,66 @@
+"""Benchmark: ocean tracer-step throughput on the standard UVic grid.
+
+Runs the flagship ocean dynamical core (3.6x1.8 deg, 19 levels, FCT
+advection, full convection, island-constrained CG barotropic solve) on
+the available accelerator and reports grid-points/s (ocean cell-tracer
+updates per second) plus model-years/day.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against BASELINE_FORTRAN_GPS, a *derived estimate*
+of single-core Fortran throughput for the reference (the repo publishes
+no numbers — BASELINE.md; the reference cannot run without its external
+input data files, so a measured Fortran baseline is future work).  The
+estimate assumes ~10M cell-tracer stencil updates/s for -O3 compiled
+Fortran on one modern core, the right order for this class of code.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FORTRAN_GPS = 1.0e7  # derived estimate, see module docstring
+
+
+def main(nsteps=20, dtype="float32"):
+    import jax
+    import __graft_entry__ as ge
+
+    m, state, forcing = ge._flagship(small=False, dtype=dtype)
+    g = m.params.grid
+    step = jax.jit(lambda s, f: m._step(s, f, leapfrog=True))
+
+    # warmup / compile
+    state = step(state, forcing)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        state = step(state, forcing)
+    jax.block_until_ready(state)
+    dt_wall = (time.perf_counter() - t0) / nsteps
+
+    assert not bool(jax.numpy.isnan(state.t).any()), "bench produced NaN"
+
+    ocean_cells = int(np.asarray(m.params.topo.tmask).sum())
+    nt = m.nt
+    gps = ocean_cells * nt / dt_wall
+    myd = m.cfg.ocean.dtts / dt_wall * 86400.0 / (365.0 * 86400.0)
+
+    print(json.dumps({
+        "metric": "ocean tracer-step grid-points/s (std 3.6x1.8x19 grid, "
+                  f"nt={nt}, {jax.devices()[0].platform})",
+        "value": round(gps, 1),
+        "unit": "cell-tracer-updates/s",
+        "vs_baseline": round(gps / BASELINE_FORTRAN_GPS, 3),
+        "model_years_per_day": round(myd, 1),
+        "step_wall_s": round(dt_wall, 5),
+    }))
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    main(n)

@@ -132,6 +132,7 @@ class OceanConfig:
     convection: str = Convection.FULL
     isopycmix: bool = True                     # O_isopycmix (Redi)
     gent_mcwilliams: bool = True               # O_gent_mcwilliams
+    dm_taper: bool = False                     # O_dm_taper slope taper
     tidal_kv: bool = False                     # O_tidal_kv addition to kappa_h
     sf_npt: int = 5                            # O_sf_5_point | O_sf_9_point
     fourfil: bool = False                      # O_fourfil high-lat filtering

@@ -1,0 +1,356 @@
+"""Isopycnal (Redi) mixing tensor + Gent-McWilliams eddy advection.
+
+TPU-native re-design of source/mom/isopyc.F (small-angle approximation,
+the reference default).  The reference's ip/kr/jq neighbor-quadruple
+loops unroll into fixed 4-term shift stencils; the per-face mixing
+coefficients Ai_* carry the slope limiting (either the (sc/s)^2 clip or
+the Danabasoglu-McWilliams tanh taper, O_dm_taper).
+
+Outputs:
+- K11/K22: along-isopycnal contributions added to the east/north
+  diffusive fluxes (isoflux, isopyc.F:889-1010),
+- K33: vertical diffusivity addition, handled implicitly
+  (vmixc.F:146-156),
+- diff_fbiso: explicit K31/K32 vertical flux (isopyc.F:1016-1065),
+- GM velocities adv_vetiso/adv_vntiso/adv_vbtiso (isopyc_adv,
+  isopyc.F:1100-1300), added to the tracer advection velocities.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax.numpy as jnp
+
+from ...constants import EPSLN
+from ...ops.eos import drods, drodt
+from ...ops.stencil import DN, E, N, S, UP, W, setbcx
+
+
+@dataclass
+class IsopycFields:
+    K11: Any
+    K22: Any
+    K33: Any
+    ai_ez: Any        # (2, 2, km, jmt, imt) indexed [ip, kr]
+    ai_nz: Any        # [jq, kr]
+    ai_bx: Any        # [ip, kr]
+    ai_by: Any        # [jq, kr]
+    alphai: Any
+    betai: Any
+    ddxt: Any         # (2, km, jmt, imt) [T, S] east-face gradients
+    ddyt: Any
+    ddzt: Any         # (2, km, jmt, imt) bottom-face gradients
+    vetiso: Any
+    vntiso: Any
+    vbtiso: Any
+
+
+def _taper(s_abs, sc, cfg, dtype):
+    """Slope limiting: (sc/s)^2 clip (default) or DM tanh taper."""
+    if getattr(cfg, "dm_taper", False):
+        return 0.5 * (1.0 - jnp.tanh((s_abs - cfg.del_dm) / cfg.s_dm))
+    return jnp.where(s_abs > sc, (sc / (s_abs + EPSLN)) ** 2,
+                     jnp.ones_like(s_abs))
+
+
+def compute_isopyc(t_tm1, tmask, kmt, eos_c, eos_to, eos_so, g, cfg,
+                   cyclic=True) -> IsopycFields:
+    """All isopycnal/GM fields from the tau-1 tracers (isopyc.F isopyc)."""
+    km = t_tm1.shape[1]
+    dtype = t_tm1.dtype
+    T, Ssal = t_tm1[0], t_tm1[1]
+    to = eos_to[:, None, None]
+    so = eos_so[:, None, None]
+    cc = eos_c[:, None, None, :]
+
+    # alpha/beta at T points (elements, isopyc.F:370-385)
+    alphai = setbcx(drodt(cc, T - to, Ssal - so), cyclic)
+    betai = setbcx(drods(cc, T - to, Ssal - so), cyclic)
+
+    dzwr_k = g.dzwr[1:].reshape(km, 1, 1)          # 1/dzw(k), bottom of cell k
+    dxur = g.dxur[None, None, :]
+    dyur = g.dyur[None, :, None]
+    cstr = g.cstr[None, :, None]
+
+    # face gradients of T and S (elements, isopyc.F:389-440)
+    def grads(f):
+        ddz = DN(tmask) * dzwr_k * (f - DN(f))
+        ddz = ddz.at[-1].set(0.0)                   # kp1 clamp -> zero
+        ddx = tmask * E(tmask) * cstr * dxur * (E(f) - f)
+        ddy = tmask * N(tmask) * dyur * (N(f) - f)
+        return setbcx(ddx, cyclic), setbcx(ddy, cyclic), setbcx(ddz, cyclic)
+
+    ddxt_T, ddyt_T, ddzt_T = grads(T)
+    ddxt_S, ddyt_S, ddzt_S = grads(Ssal)
+    ddxt = jnp.stack([ddxt_T, ddxt_S])
+    ddyt = jnp.stack([ddyt_T, ddyt_S])
+    ddzt = jnp.stack([ddzt_T, ddzt_S])
+
+    def ddz_face(n, kr, shift=None):
+        """ddzt at face k-1+kr (kr=0: above cell, surface = 0)."""
+        a = ddzt[n] if shift is None else shift(ddzt[n])
+        return a if kr == 1 else UP(a)
+
+    # critical slope per level (sc = 1/(slmxr*sqrt(dtxcel)))
+    sc_k = (cfg.slmx / jnp.sqrt(g.dtxcel)).reshape(km, 1, 1)
+
+    ai0_e = cfg.ahisop          # fisop structure function = 1 (no data file)
+    ai0_n = cfg.ahisop
+    ai0_b = cfg.ahisop
+
+    # ---- east face: Ai_ez, K11 (ai_east, isopyc.F:544-640) -----------
+    mask_e = tmask * E(tmask)
+    ai_ez = []
+    sumz_e = jnp.zeros_like(T)
+    for ip in (0, 1):
+        a_i = alphai if ip == 0 else E(alphai)
+        b_i = betai if ip == 0 else E(betai)
+        drodxe = a_i * ddxt[0] + b_i * ddxt[1]
+        row = []
+        for kr in (0, 1):
+            shift = None if ip == 0 else E
+            drodze = (a_i * ddz_face(0, kr, shift)
+                      + b_i * ddz_face(1, kr, shift))
+            sxe = jnp.abs(drodxe / (drodze + EPSLN))
+            ai = ai0_e * mask_e * _taper(sxe, sc_k, cfg, dtype)
+            dzw_f = g.dzw[kr:km + kr].reshape(km, 1, 1)
+            sumz_e = sumz_e + dzw_f * ai
+            row.append(ai)
+        ai_ez.append(row)
+    dzt4r = (0.25 * g.dztr).reshape(km, 1, 1)
+    K11 = setbcx(dzt4r * sumz_e, cyclic)
+
+    # ---- north face: Ai_nz, K22 (ai_north, isopyc.F:644-740) ---------
+    mask_n = tmask * N(tmask)
+    ai_nz = []
+    sumz_n = jnp.zeros_like(T)
+    for jq in (0, 1):
+        a_j = alphai if jq == 0 else N(alphai)
+        b_j = betai if jq == 0 else N(betai)
+        drodyn = a_j * ddyt[0] + b_j * ddyt[1]
+        row = []
+        for kr in (0, 1):
+            shift = None if jq == 0 else N
+            drodzn = (a_j * ddz_face(0, kr, shift)
+                      + b_j * ddz_face(1, kr, shift))
+            syn = jnp.abs(drodyn / (drodzn + EPSLN))
+            ai = ai0_n * mask_n * _taper(syn, sc_k, cfg, dtype)
+            dzw_f = g.dzw[kr:km + kr].reshape(km, 1, 1)
+            sumz_n = sumz_n + dzw_f * ai
+            row.append(ai)
+        ai_nz.append(row)
+    K22 = setbcx(dzt4r * sumz_n, cyclic)
+
+    # ---- bottom face: Ai_bx, Ai_by, K33 (ai_bottom, isopyc.F:743-880)
+    # drodzb(kr) = alphai(k+kr)*ddzt(k) + betai(k+kr)*ddzt(k) at face k
+    mask_b = DN(tmask)
+    ai_bx = [[None, None], [None, None]]
+    ai_by = [[None, None], [None, None]]
+    sumx_b = jnp.zeros_like(T)
+    sumy_b = jnp.zeros_like(T)
+    dxu_w = g.dxu[None, None, :]
+    csu_j = g.csu[None, :, None]
+    for kr in (0, 1):
+        a_k = alphai if kr == 0 else DN(alphai, fill=1.0)
+        b_k = betai if kr == 0 else DN(betai, fill=1.0)
+        drodzb = a_k * ddzt[0] + b_k * ddzt[1]
+        ddxt_k = ddxt if kr == 0 else DN(ddxt)
+        ddyt_k = ddyt if kr == 0 else DN(ddyt)
+        for ip in (0, 1):
+            # drodxb uses ddxt at (i-1+ip, k+kr)
+            gx_T = W(ddxt_k[0]) if ip == 0 else ddxt_k[0]
+            gx_S = W(ddxt_k[1]) if ip == 0 else ddxt_k[1]
+            drodxb = a_k * gx_T + b_k * gx_S
+            sxb = jnp.abs(drodxb / (drodzb + EPSLN))
+            ai = ai0_b * mask_b * _taper(sxb, sc_k, cfg, dtype)
+            ai_bx[ip][kr] = ai
+            w = W(dxu_w) if ip == 0 else dxu_w
+            sumx_b = sumx_b + w * ai * sxb ** 2
+        for jq in (0, 1):
+            gy_T = S(ddyt_k[0]) if jq == 0 else ddyt_k[0]
+            gy_S = S(ddyt_k[1]) if jq == 0 else ddyt_k[1]
+            drodyb = a_k * gy_T + b_k * gy_S
+            syb = jnp.abs(drodyb / (drodzb + EPSLN))
+            ai = ai0_b * mask_b * _taper(syb, sc_k, cfg, dtype)
+            ai_by[jq][kr] = ai
+            facty = (S(csu_j) if jq == 0 else csu_j) * \
+                (S(g.dyu[None, :, None]) if jq == 0 else g.dyu[None, :, None])
+            sumy_b = sumy_b + facty * ai * syb ** 2
+    dxt4r = (0.25 / g.dxt)[None, None, :]
+    dyt4r = (0.25 / g.dyt)[None, :, None]
+    K33 = dxt4r * sumx_b + dyt4r * cstr * sumy_b
+    K33 = K33.at[-1].set(0.0)
+    K33 = setbcx(K33, cyclic)
+
+    # ---- GM eddy-induced velocities (isopyc_adv) ---------------------
+    vetiso, vntiso, vbtiso = _gm_velocities(
+        alphai, betai, ddxt, ddyt, ddzt, tmask, kmt, g, cfg, sc_k, cyclic)
+
+    return IsopycFields(
+        K11=K11, K22=K22, K33=K33,
+        ai_ez=ai_ez, ai_nz=ai_nz, ai_bx=ai_bx, ai_by=ai_by,
+        alphai=alphai, betai=betai, ddxt=ddxt, ddyt=ddyt, ddzt=ddzt,
+        vetiso=vetiso, vntiso=vntiso, vbtiso=vbtiso)
+
+
+def _gm_velocities(alphai, betai, ddxt, ddyt, ddzt, tmask, kmt, g, cfg,
+                   sc_k, cyclic):
+    """GM bolus velocities (isopyc_adv, isopyc.F:1100-1300)."""
+    km = alphai.shape[0]
+    dtype = alphai.dtype
+    dztr = g.dztr.reshape(km, 1, 1)
+    csu_j = g.csu[None, :, None]
+    ath0 = cfg.athkdf
+
+    def up1(a):   # value at level k-1 (clamped at surface)
+        return jnp.concatenate([a[:1], a[:-1]], axis=0)
+
+    def dn1(a):   # value at level k+1 (clamped at bottom)
+        return jnp.concatenate([a[1:], a[-1:]], axis=0)
+
+    top_bc = jnp.ones((km, 1, 1), dtype).at[0].set(0.0)
+    bot_bc = jnp.ones((km, 1, 1), dtype).at[-1].set(0.0)
+
+    def component(grad_h, a_shift, ddz_pair_shift, mask_pair):
+        """slope & tapered coefficient at top/bottom faces for one
+        horizontal direction; a_shift shifts alpha/beta to the partner
+        cell (N for meridional, E for zonal)."""
+        a_n, b_n = a_shift(alphai), a_shift(betai)
+        # top face (kr=0): averages with level k-1
+        at = alphai + a_n + up1(alphai) + up1(a_n)
+        bt = betai + b_n + up1(betai) + up1(b_n)
+        num_t = at * (grad_h[0] + up1(grad_h[0])) \
+            + bt * (grad_h[1] + up1(grad_h[1]))
+        ddz_t = [UP(z) for z in (ddzt[0], ddzt[1])]        # face k-1
+        ddz_t_n = [UP(z) for z in ddz_pair_shift]
+        den_t = at * (ddz_t[0] + ddz_t_n[0]) + bt * (ddz_t[1] + ddz_t_n[1])
+        s_t = -num_t / (den_t + EPSLN)
+        # bottom face (kr=1): averages with level k+1
+        ab = alphai + a_n + dn1(alphai) + dn1(a_n)
+        bb = betai + b_n + dn1(betai) + dn1(b_n)
+        num_b = ab * (grad_h[0] + dn1(grad_h[0])) \
+            + bb * (grad_h[1] + dn1(grad_h[1]))
+        den_b = ab * (ddzt[0] + ddz_pair_shift[0]) \
+            + bb * (ddzt[1] + ddz_pair_shift[1])
+        s_b = -num_b / (den_b + EPSLN)
+        ath_t = ath0 * mask_pair * _taper(jnp.abs(s_t), sc_k, cfg, dtype)
+        ath_b = ath0 * dn1(mask_pair) * _taper(jnp.abs(s_b), sc_k, cfg,
+                                               dtype)
+        return ath_t, s_t, ath_b, s_b
+
+    # meridional component at north faces
+    mask_n = tmask * N(tmask)
+    ath_t, stn, ath_b, sbn = component(
+        ddyt, N, [N(ddzt[0]), N(ddzt[1])], mask_n)
+    vntiso = -(ath_t * stn * top_bc - ath_b * sbn * bot_bc) * dztr * csu_j
+
+    # zonal component at east faces
+    mask_e = tmask * E(tmask)
+    ath_t, ste, ath_b, sbe = component(
+        ddxt, E, [E(ddzt[0]), E(ddzt[1])], mask_e)
+    vetiso = -(ath_t * ste * top_bc - ath_b * sbe * bot_bc) * dztr
+    vetiso = setbcx(vetiso, cyclic)
+
+    # vertical from continuity (isopyc.F:1268-1290)
+    cstr = g.cstr[None, :, None]
+    div = g.dzt.reshape(km, 1, 1) * cstr * (
+        (vetiso - W(vetiso)) * g.dxtr[None, None, :]
+        + (vntiso - S(vntiso)) * g.dytr[None, :, None])
+    vbtiso = jnp.cumsum(div, axis=0)
+    levels = jnp.arange(km).reshape(km, 1, 1)
+    vbtiso = jnp.where(levels == (kmt - 1)[None], 0.0, vbtiso)
+    vbtiso = vbtiso.at[-1].set(0.0)
+    vbtiso = setbcx(vbtiso, cyclic)
+    return vetiso, vntiso, vbtiso
+
+
+def isoflux(iso: IsopycFields, t, tmask, g, cyclic=True):
+    """Isopycnal diffusive flux additions for all tracers
+    (isoflux, isopyc.F:889-1065).
+
+    t : (nt, km, jmt, imt) tracers at tau-1
+    returns (fe_iso, fn_iso, fb_iso): additions to the diffusive fluxes
+    on east/north faces and the explicit K31/K32 bottom-face flux.
+    """
+    km = t.shape[1]
+    dzt4r = (0.25 * g.dztr).reshape(1, km, 1, 1)
+    alphai, betai = iso.alphai, iso.betai
+
+    def ddz_face(n, kr, shift=None):
+        a = iso.ddzt[n] if shift is None else shift(iso.ddzt[n])
+        return a if kr == 1 else UP(a)
+
+    def vdiff(f, kr):
+        """t(km1kr) - t(kpkr): difference across face k-1+kr with index
+        clamping (isoflux km1kr/kpkr)."""
+        if kr == 0:
+            d = UP(f, fill=0.0) - f
+            return d.at[:, 0].set(0.0)     # km1kr=kpkr=1 at surface
+        d = f - DN(f, fill=0.0)
+        return d.at[:, -1].set(0.0)        # both clamp to km at bottom
+
+    # east face
+    sumz = jnp.zeros_like(t)
+    for ip in (0, 1):
+        a_i = alphai if ip == 0 else E(alphai)
+        b_i = betai if ip == 0 else E(betai)
+        drodxe = a_i * iso.ddxt[0] + b_i * iso.ddxt[1]
+        t_ip = t if ip == 0 else E(t)
+        for kr in (0, 1):
+            shift = None if ip == 0 else E
+            drodze = a_i * ddz_face(0, kr, shift) + b_i * ddz_face(1, kr,
+                                                                   shift)
+            sumz = sumz - iso.ai_ez[ip][kr][None] * vdiff(t_ip, kr) \
+                * drodxe[None] / (drodze[None] + EPSLN)
+    fe_iso = dzt4r * sumz \
+        + iso.K11[None] * g.cstdxur[None, None] * (E(t) - t)
+
+    # north face
+    sumz = jnp.zeros_like(t)
+    for jq in (0, 1):
+        a_j = alphai if jq == 0 else N(alphai)
+        b_j = betai if jq == 0 else N(betai)
+        drodyn = a_j * iso.ddyt[0] + b_j * iso.ddyt[1]
+        t_jq = t if jq == 0 else N(t)
+        for kr in (0, 1):
+            shift = None if jq == 0 else N
+            drodzn = a_j * ddz_face(0, kr, shift) + b_j * ddz_face(1, kr,
+                                                                   shift)
+            sumz = sumz - iso.ai_nz[jq][kr][None] * vdiff(t_jq, kr) \
+                * drodyn[None] / (drodzn[None] + EPSLN)
+    csu_j = g.csu[None, None, :, None]
+    fn_iso = csu_j * dzt4r * sumz \
+        + iso.K22[None] * (g.csu * g.dyur)[None, None, :, None] * (N(t) - t)
+
+    # bottom face: explicit K31/K32 flux (diff_fbiso)
+    cstr = g.cstr[None, None, :, None]
+    dxt4r = (0.25 / g.dxt)[None, None, None, :]
+    dyt4r = (0.25 / g.dyt)[None, None, :, None]
+    sumx = jnp.zeros_like(t)
+    sumy = jnp.zeros_like(t)
+    for kr in (0, 1):
+        a_k = alphai if kr == 0 else DN(alphai, fill=1.0)
+        b_k = betai if kr == 0 else DN(betai, fill=1.0)
+        drodzb = (a_k * iso.ddzt[0] + b_k * iso.ddzt[1])[None]
+        ddxt_k = iso.ddxt if kr == 0 else DN(iso.ddxt)
+        ddyt_k = iso.ddyt if kr == 0 else DN(iso.ddyt)
+        t_k = t if kr == 0 else DN(t)
+        for ip in (0, 1):
+            gx = a_k * (W(ddxt_k[0]) if ip == 0 else ddxt_k[0]) \
+                + b_k * (W(ddxt_k[1]) if ip == 0 else ddxt_k[1])
+            tdiff = (t_k - W(t_k)) if ip == 0 else (E(t_k) - t_k)
+            sumx = sumx - iso.ai_bx[ip][kr][None] * cstr * tdiff \
+                * gx[None] / (drodzb + EPSLN)
+        for jq in (0, 1):
+            gy = a_k * (S(ddyt_k[0]) if jq == 0 else ddyt_k[0]) \
+                + b_k * (S(ddyt_k[1]) if jq == 0 else ddyt_k[1])
+            tdiff = (t_k - S(t_k)) if jq == 0 else (N(t_k) - t_k)
+            fy = S(g.csu[None, None, :, None]) if jq == 0 \
+                else g.csu[None, None, :, None]
+            sumy = sumy - iso.ai_by[jq][kr][None] * fy * tdiff \
+                * gy[None] / (drodzb + EPSLN)
+    fb_iso = dxt4r * sumx + dyt4r * cstr * sumy
+    fb_iso = fb_iso.at[:, -1].set(0.0)
+    return fe_iso, fn_iso, fb_iso

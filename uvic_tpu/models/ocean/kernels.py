@@ -79,7 +79,7 @@ def adv_vel(u, v, g, cyclic=True):
 
 def tracer_step(t_tau, t_tm1, vet, vnt, vbt, stf, btf, source,
                 diff_cbt, kmt, tmask, g, c2dtts, scheme: str,
-                aidif: float, cyclic=True):
+                aidif: float, cyclic=True, iso=None):
     """One tracer timestep for all tracers (tracer.F:678-916).
 
     t_tau/t_tm1 : (nt, km, jmt, imt)
@@ -87,6 +87,8 @@ def tracer_step(t_tau, t_tm1, vet, vnt, vbt, stf, btf, source,
     stf/btf     : (nt, jmt, imt) surface/bottom tracer fluxes
     source      : (nt, km, jmt, imt) or None
     diff_cbt    : (km, jmt, imt) vertical diffusivity at cell bottoms
+                  (with the K33 isopycnal addition folded in by the caller)
+    iso         : IsopycFields for Redi flux additions, or None
     returns t at tau+1 (before convection/filtering).
     """
     km = t_tau.shape[1]
@@ -116,12 +118,25 @@ def tracer_step(t_tau, t_tm1, vet, vnt, vbt, stf, btf, source,
     # horizontal diffusive fluxes (consthmix path, tracer.F:691-798)
     ah_cstdxur = g.ah * g.cstdxur
     diff_fe = ah_cstdxur[None, None] * (E(t_tm1) - t_tm1)
+    if iso is not None:
+        # isopycnal path: flux-form meridional diffusion plus the Redi
+        # additions to the east/north fluxes (tracer.F:711-727, isoflux)
+        from .isopyc import isoflux
+        fe_iso, fn_iso, fb_iso = isoflux(iso, t_tm1, tmask, g, cyclic)
+        diff_fe = diff_fe + fe_iso
+        diff_fn = (g.ah * (g.csu * g.dyur)[None, None, :, None]
+                   * (N(t_tm1) - t_tm1)) + fn_iso
+        diff_ty = (diff_fn * N(tmask)[None]
+                   - S(diff_fn) * S(tmask)[None]) \
+            * (1.0 / (g.cst * g.dyt))[None, None, :, None]
+    else:
+        fb_iso = None
+        ahc_n = g.ahc_north[None, None, :, None]
+        ahc_s = g.ahc_south[None, None, :, None]
+        diff_ty = (ahc_n * N(tmask)[None] * (N(t_tm1) - t_tm1)
+                   - ahc_s * S(tmask)[None] * (t_tm1 - S(t_tm1)))
     diff_tx = (diff_fe * E(tmask)[None]
                - W(diff_fe) * W(tmask)[None]) * cstdxtr[None]
-    ahc_n = g.ahc_north[None, None, :, None]
-    ahc_s = g.ahc_south[None, None, :, None]
-    diff_ty = (ahc_n * N(tmask)[None] * (N(t_tm1) - t_tm1)
-               - ahc_s * S(tmask)[None] * (t_tm1 - S(t_tm1)))
 
     # vertical diffusive flux through cell bottoms (tracer.F:787-798);
     # broadcasting t (nt,km,j,i) against diff_cbt (km,j,i)
@@ -136,6 +151,9 @@ def tracer_step(t_tau, t_tm1, vet, vnt, vbt, stf, btf, source,
     fb_above = UP(diff_fb)
     fb_above = fb_above.at[:, 0].set(stf)
     diff_tz = (fb_above - diff_fb) * dztr[None] * (1.0 - aidif)
+    if iso is not None:
+        # explicit K31/K32 isopycnal vertical flux (fdift.h:87-89)
+        diff_tz = diff_tz + (UP(fb_iso) - fb_iso) * dztr[None]
 
     tend = diff_tx + diff_ty + diff_tz - adv_tx - adv_ty - adv_tz
     if source is not None:

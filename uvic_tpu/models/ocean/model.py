@@ -175,12 +175,32 @@ class OceanModel:
         else:
             bmf = jnp.zeros_like(smf)
 
+        # isopycnal/GM fields (isopyc.F), K33 into the implicit vertical
+        # diffusivity (vmixc.F:146-156), GM velocities into advection
+        if cfg.isopycmix:
+            from .isopyc import compute_isopyc
+            iso = compute_isopyc(tm1, self.tmask, self.kmt, self.eos_c,
+                                 self.eos_to, self.eos_so, g, cfg,
+                                 self.cyclic)
+            diff_cbt = self.diff_cbt + iso.K33
+            if cfg.gent_mcwilliams:
+                vet_t = vet + iso.vetiso
+                vnt_t = vnt + iso.vntiso
+                vbt_t = vbt + iso.vbtiso
+            else:
+                vet_t, vnt_t, vbt_t = vet, vnt, vbt
+            aidif = cfg.aidif
+        else:
+            iso = None
+            diff_cbt = self.diff_cbt
+            vet_t, vnt_t, vbt_t = vet, vnt, vbt
+            aidif = 0.0
+
         # tracer step (tracer.F)
         t_new = tracer_step(
-            t_tau, tm1, vet, vnt, vbt, stf, btf, None,
-            self.diff_cbt, self.kmt, self.tmask, g, c2dtts,
-            cfg.tracer_advection, cfg.aidif if cfg.isopycmix else 0.0,
-            self.cyclic)
+            t_tau, tm1, vet_t, vnt_t, vbt_t, stf, btf, None,
+            diff_cbt, self.kmt, self.tmask, g, c2dtts,
+            cfg.tracer_advection, aidif, self.cyclic, iso=iso)
 
         # convective adjustment (convect.F)
         if cfg.convection == Convection.FULL:
