@@ -115,6 +115,12 @@ class OceanModel:
         self.visc_cbu = jnp.full((km, jmt, imt), cfg.ocean.kappa_m, dtype=dt)
         self.dztxcl = jn(g.dzt) / bag.dtxcel
 
+        # high-latitude FIR filter pass counts (setcom.F:101-132)
+        from ...ops.filters import filter_passes
+        self.npass_t = filter_passes(np.asarray(g.yt), imt)
+        self.npass_u = filter_passes(np.asarray(g.yu), imt)
+        self.sf_filter_mask = jn((topo.land_map <= 0).astype(np.float64))
+
         self.nt = params.nt
         self._step_leapfrog = jax.jit(partial(self._step, leapfrog=True),
                                       donate_argnums=(0,))
@@ -209,6 +215,12 @@ class OceanModel:
         else:
             t_new = convct_ncon(t_new, self.kmt, self.eos_c, self.eos_to,
                                 self.eos_so, self.dztxcl, cfg.ncon)
+
+        # high-latitude tracer filtering (tracer.F:980-993)
+        if cfg.fourfil:
+            from ...ops.filters import fir_filter
+            t_new = fir_filter(t_new, self.tmask[None], self.npass_t,
+                               "symmetric", self.cyclic)
         t_new = setbcx(t_new, self.cyclic)
 
         # baroclinic momentum step (clinic.F); density from tau tracers
@@ -217,12 +229,21 @@ class OceanModel:
             u_tau, u_tm1, rho, veu, vnu, vbu, smf, bmf,
             self.visc_cbu, self.kmu, self.umask, g, c2dtuv, self.cyclic)
 
+        # high-latitude velocity filtering (clinic.F:480-493)
+        if cfg.fourfil:
+            from ...ops.filters import fir_filter
+            u_int_new = fir_filter(u_int_new, self.umask[None],
+                                   self.npass_u, "asymmetric", self.cyclic)
+            u_int_new = setbcx(u_int_new, self.cyclic)
+
         # barotropic streamfunction solve (tropic.F)
+        sf_filt = ((self.sf_filter_mask, self.npass_t)
+                   if cfg.fourfil else None)
         psi0n, psi1n, ptd, ptdb, iters, est, conv = tropic_step(
             zu, psi0, psi1, state.ptd, state.ptdb,
             self.cf_unit, self.cf_acor, self.isl,
             g.dxu, g.dyu, g.csu, c2dtsf, cfg.tolrsf, cfg.mxscan,
-            leapfrog, self.cyclic)
+            leapfrog, self.cyclic, filt=sf_filt)
 
         return OceanState(
             tm1=t_tau, t=t_new,

@@ -83,14 +83,20 @@ def sfc5pt_unit(dxu, dyu, csu, hr, f=None, acor=0.0):
 
 def tropic_step(zu, psi0, psi1, ptd_hist, ptdb_hist, cf_unit, cf_acor,
                 isl: IslandIndex, dxu, dyu, csu, c2dtsf, tolrsf, mxscan,
-                leapfrog: bool, cyclic=True):
+                leapfrog: bool, cyclic=True, filt=None):
     """Solve for the change in streamfunction and update the two psi time
     levels (tropic.F:127-293).
 
+    filt: optional (mask, npass_j) pair for high-latitude filtering of
+    the forcing (filz, tropic.F:136-141).
     Returns (psi0_new, psi1_new, ptd_new, ptdb_new, iterations, est_err,
     converged).
     """
     forc = sfforc(zu, dxu, dyu, csu)
+    if filt is not None:
+        from ...ops.filters import fir_filter
+        mask, npass_j = filt
+        forc = fir_filter(forc, mask, npass_j, "symmetric", cyclic)
 
     # initial guess extrapolated from the last two solutions
     fxa = 1.0 if leapfrog else 0.5
