@@ -1,0 +1,249 @@
+"""Coupled driver: the segment loop tying ocean, atmosphere, and sea ice.
+
+TPU-native re-design of the reference coupling architecture
+(source/common/UVic_ESCM.F:296-416 segment loop, gasbc.F, gosbc.F):
+
+  for each segment (segtim days):
+    gasbc  : ocean surface state -> atmosphere boundary conditions
+    ntspas x embm step, with the ice model inside (fluxes -> ice thermo
+             + EVP dynamics + advection -> humidity solve -> precip ->
+             temperature solve -> flux accumulation, embm.F:39-95)
+    gosbc  : time-mean accumulated fluxes -> ocean surface forcing
+             (heat -> cal/cm^2/s ~= K cm/s, freshwater -> virtual salt
+             flux, wind + ice stress -> momentum flux, gosbc.F:66-145)
+    ntspos x ocean step
+
+The sbc "flux bus" (csbc.h slot registry) becomes explicit typed fields.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import ModelConfig
+from ..constants import EPSLN, OMEGA, RADIAN
+from ..core.state import OceanState
+from ..models.embm import constants as C
+from ..models.embm.model import AtmState, EmbmModel
+from ..models.ice.evp import evp_dynamics
+from ..models.ice.thermo import (IceState, freezing_point, ice_advection,
+                                 ice_thermodynamics, init_ice_state)
+from ..models.ocean.model import OceanModel, SurfaceForcing, make_ocean
+
+SOCN = 0.035  # global-mean absolute salinity for virtual salt flux
+
+
+@struct.dataclass
+class CoupledState:
+    ocean: OceanState
+    atm: AtmState
+    ice: IceState
+
+
+class CoupledModel:
+    def __init__(self, cfg: ModelConfig | None = None,
+                 topo_kind: str = "world", kmt=None):
+        cfg = cfg or ModelConfig()
+        self.cfg = cfg
+        self.ocean = make_ocean(cfg, kmt=kmt, topo_kind=topo_kind)
+        grid = self.ocean.params.grid
+        topo = self.ocean.params.topo
+        self.grid = grid
+        self.topo = topo
+        self.embm = EmbmModel(grid, topo, cfg.embm, dtype=cfg.np_dtype)
+
+        # coupling cadence (chkcpl semantics)
+        seg_s = cfg.time.segtim_days * 86400.0
+        self.ntspas = max(1, round(seg_s / cfg.embm.dtatm))
+        self.ntspos = max(1, round(seg_s / cfg.ocean.dtts))
+
+        jmt, imt = grid.jmt, grid.imt
+        f = 2.0 * OMEGA * np.sin(grid.yu / RADIAN)
+        self.fcor_u = jnp.asarray(
+            np.broadcast_to(f[:, None], (jmt, imt)), dtype=cfg.np_dtype)
+        self.umsk = jnp.asarray((topo.kmu > 0).astype(np.float64),
+                                dtype=cfg.np_dtype)
+        # wind stress on the ocean/ice from the prescribed EMBM winds
+        w = self.embm.winds
+        wmag = jnp.sqrt(w[0] ** 2 + w[1] ** 2) + EPSLN
+        self.taux_w = C.RHOATM * C.CDATM * wmag * w[0]
+        self.tauy_w = C.RHOATM * C.CDATM * wmag * w[1]
+
+        self._atm_ice_step = jax.jit(self._atm_ice_step_impl,
+                                     static_argnames=("mixing",))
+
+    # ------------------------------------------------------------------
+    def init_state(self, t_init=None) -> CoupledState:
+        grid = self.grid
+        ocean = self.ocean.init_state(
+            t_init if t_init is not None else self._default_ocean_ic())
+        atm = self.embm.init_state()
+        ice = init_ice_state(grid.jmt, grid.imt, self.cfg.np_dtype)
+        return CoupledState(ocean=ocean, atm=atm, ice=ice)
+
+    def _default_ocean_ic(self):
+        g = self.grid
+        t0 = np.zeros((self.ocean.nt, g.km, g.jmt, g.imt))
+        lat = np.broadcast_to(g.yt[:, None], (g.jmt, g.imt))
+        sst = 25.0 * np.cos(np.deg2rad(lat)) ** 2
+        prof = np.exp(-np.asarray(g.zt) / 1000.0e2)
+        t0[0] = sst[None] * prof[:, None, None] + 2.0
+        t0 *= np.asarray(self.topo.tmask)
+        return t0
+
+    # ------------------------------------------------------------------
+    def gasbc(self, state: CoupledState):
+        """Ocean surface state -> atm boundary conditions (gasbc.F)."""
+        sst = state.ocean.t[0, 0]
+        sss = state.ocean.t[1, 0] * 1000.0 + 35.0
+        frzpt = freezing_point(sss)
+        # under-ice water cannot be below freezing for flux purposes
+        return sst, sss, frzpt
+
+    # ------------------------------------------------------------------
+    def _atm_ice_step_impl(self, atm: AtmState, ice: IceState, sst, frzpt,
+                           uocn, vocn, *, mixing: bool):
+        """One atmosphere step with the ice model inside (embm.F:39-95)."""
+        embm = self.embm
+        cfg = self.cfg.embm
+        dts = cfg.dtatm if mixing else 2.0 * cfg.dtatm
+        at_old = atm.at if mixing else atm.atm1
+
+        fl = embm.fluxes(atm, sst, dts=dts)
+
+        # ---- sea ice (ice.F): dynamics, advection, thermodynamics ----
+        if self.cfg.ice.enabled:
+            if self.cfg.ice.evp:
+                uice, vice = evp_dynamics(
+                    ice.uice[0], ice.uice[1], ice.hice, ice.aice,
+                    embm.tmsk, self.umsk, self.fcor_u,
+                    self.taux_w, self.tauy_w, uocn, vocn,
+                    self.ocean.g, cfg.dtatm, self.cfg.ice.ndte,
+                    embm.cyclic)
+                hice = ice_advection(ice.hice, uice, vice, self.ocean.g,
+                                     dts, self.cfg.ice.niats, embm.cyclic)
+                aice = ice_advection(ice.aice, uice, vice, self.ocean.g,
+                                     dts, self.cfg.ice.niats, embm.cyclic)
+                hsno = ice_advection(ice.hsno, uice, vice, self.ocean.g,
+                                     dts, self.cfg.ice.niats, embm.cyclic)
+                aice = jnp.clip(aice, 0.0, 1.0)
+                hice = jnp.maximum(hice, 0.0)
+                hsno = jnp.maximum(hsno, 0.0)
+                ice = ice.replace(hice=hice, aice=aice, hsno=hsno,
+                                  uice=jnp.stack([uice, vice]))
+            ice, flx, oadj = ice_thermodynamics(
+                ice, atm.at[0], atm.at[1], fl["rh"], sst, frzpt,
+                embm.solins, embm.aca, embm.wspd, embm.elev, embm.tmsk,
+                fl["dnswr"], fl["uplwr"], fl["upsens"], fl["upltnt"],
+                fl["evap"], dts, float(self.grid.zw[0]))
+            dnswr, uplwr = flx["dnswr"], flx["uplwr"]
+            upsens, upltnt = flx["upsens"], flx["upltnt"]
+            evap = flx["evap"]
+        else:
+            dnswr, uplwr = fl["dnswr"], fl["uplwr"]
+            upsens, upltnt = fl["upsens"], fl["upltnt"]
+            evap = fl["evap"]
+            oadj = dict(heat=jnp.zeros_like(sst),
+                        freshwater=jnp.zeros_like(sst))
+
+        # ---- humidity transport + precipitation ----------------------
+        fa_q = dts / (C.RHOATM * C.SHQ)
+        forc_q = (fa_q * evap).at[0, :].set(0.0).at[-1, :].set(0.0)
+        coefs = embm._coef(embm.diff_n, dts)
+        rhs_q = embm._bc(at_old[1] + forc_q)
+        shum = embm.solve_tracer(rhs_q, atm.at[1], coefs,
+                                 cfg.solver_tol, cfg.solver_maxiter)
+        flux_shum_land = evap * embm.lmsk
+        shum, precip, psno, rh, soilm_new, runoff = embm.precipitate(
+            shum, atm, flux_shum_land, jnp.ones_like(evap), dts)
+
+        # snowfall accumulates on sea ice / land snow (fluxes.F:363-420):
+        # over ocean only the ice-covered fraction holds snow
+        if self.cfg.ice.enabled:
+            fc = dts / C.RHOSNO
+            hsno_max = 1000.0
+            psno = jnp.where(ice.hsno < hsno_max, psno, 0.0)
+            psno_eff = psno * jnp.where(embm.tmsk > 0, ice.aice, 1.0)
+            ice = ice.replace(hsno=ice.hsno + fc * psno_eff)
+            psno = psno_eff
+
+        # ---- temperature transport -----------------------------------
+        fa = dts / (C.CPATM * C.RHOATM * C.SHT)
+        fb_l = dts * C.VLOCN / (C.CPATM * C.RHOATM * C.SHT)
+        fc = dts * C.SLICE / (C.CPATM * C.RHOATM * C.SHT) - fb_l
+        fd = C.SCATTER * (1.0 + C.PASS)
+        forc_t = fa * (embm.solins * embm.aca * fd
+                       - dnswr * C.SCATTER - fl["outlwr"]
+                       + uplwr + upsens)
+        forc_t = (forc_t + precip * fb_l + fc * psno)
+        forc_t = forc_t.at[0, :].set(0.0).at[-1, :].set(0.0)
+        rhs_t = embm._bc(at_old[0] + forc_t)
+        sat = embm.solve_tracer(rhs_t, atm.at[0], coefs,
+                                cfg.solver_tol, cfg.solver_maxiter)
+
+        new_atm = AtmState(
+            at=jnp.stack([sat, shum]), atm1=atm.at,
+            soilm=soilm_new, soilm1=atm.soilm, surf=fl["surf"],
+            nats=jnp.where(mixing, 1, atm.nats + 1))
+
+        # ---- flux accumulation for the coupler (sum_flux) ------------
+        ocean_msk = embm.tmsk
+        acc = dict(
+            heat=dts * (dnswr - uplwr - upltnt - upsens) * ocean_msk
+            + oadj["heat"],
+            freshwater=dts * (precip - evap - psno) * ocean_msk
+            + oadj["freshwater"],
+            taux=dts * self.taux_w,
+            tauy=dts * self.tauy_w,
+            time=dts,
+        )
+        return new_atm, ice, acc
+
+    # ------------------------------------------------------------------
+    def gosbc(self, acc):
+        """Accumulated fluxes -> ocean forcing (gosbc.F:66-145)."""
+        atatm = acc["time"]
+        fh = 2.389e-8 / atatm          # erg/cm^2/s -> cal/cm^2/s ~ K cm/s
+        fs = -SOCN / atatm             # freshwater -> virtual salt flux
+        hflx = fh * acc["heat"] * self.embm.tmsk
+        sflx = fs * acc["freshwater"] * self.embm.tmsk
+        stf = jnp.stack([hflx, sflx])
+        smf = jnp.stack([acc["taux"], acc["tauy"]]) / atatm / 1.035
+        return SurfaceForcing(smf=smf, stf=stf)
+
+    # ------------------------------------------------------------------
+    def run_segment(self, state: CoupledState) -> CoupledState:
+        sst, sss, frzpt = self.gasbc(state)
+        # surface geostrophic currents for ice drag: ocean surface vel
+        u_surf = self.ocean.full_velocity(state.ocean.u, state.ocean.psi0)
+        uocn, vocn = u_surf[0, 0], u_surf[1, 0]
+
+        atm, ice = state.atm, state.ice
+        acc = None
+        for _ in range(self.ntspas):
+            mixing = bool(atm.nats + 1 > self.cfg.embm.namix)
+            atm, ice, a = self._atm_ice_step(atm, ice, sst, frzpt,
+                                             uocn, vocn, mixing=mixing)
+            if acc is None:
+                acc = a
+            else:
+                acc = {k: acc[k] + a[k] for k in acc}
+
+        forcing = self.gosbc(acc)
+        ocean = state.ocean
+        for _ in range(self.ntspos):
+            leapfrog = (int(ocean.itt) % self.cfg.ocean.nmix) != 0
+            ocean = self.ocean.step(ocean, forcing, leapfrog=leapfrog)
+        return CoupledState(ocean=ocean, atm=atm, ice=ice)
+
+    def run(self, state: CoupledState, nseg: int) -> CoupledState:
+        for _ in range(nseg):
+            state = self.run_segment(state)
+        return state

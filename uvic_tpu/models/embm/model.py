@@ -249,7 +249,10 @@ class EmbmModel:
         y = (cc * xb
              + cn * jnp.roll(xb, -1, axis=0) + cs * jnp.roll(xb, 1, axis=0)
              + ce * jnp.roll(xb, -1, axis=1) + cw * jnp.roll(xb, 1, axis=1))
-        y = y.at[0, :].set(xb[0, :]).at[-1, :].set(xb[-1, :])
+        # boundary rows/columns are identity equations (the duplicated
+        # cyclic columns are reinstalled by _bc after the solve)
+        y = y.at[0, :].set(x[0, :]).at[-1, :].set(x[-1, :])
+        y = y.at[:, 0].set(x[:, 0]).at[:, -1].set(x[:, -1])
         return y
 
     def _coef(self, diff, dts):
@@ -303,9 +306,11 @@ class EmbmModel:
         """BiCGSTAB on the 5-point transport operator."""
         mv = partial(self._transport_matvec, coefs=coefs)
         M = lambda r: r / coefs[0]
+        rhs = rhs.at[:, 0].set(0.0).at[:, -1].set(0.0)
+        guess = guess.at[:, 0].set(0.0).at[:, -1].set(0.0)
         x, _ = jax.scipy.sparse.linalg.bicgstab(
             mv, rhs, x0=guess, tol=tol, maxiter=maxiter, M=M)
-        return x
+        return self._bc(x)
 
     # ------------------------------------------------------------------
     def precipitate(self, at_shum, state, flux_shum, psno_allowed, dts):
