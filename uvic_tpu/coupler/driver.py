@@ -65,6 +65,13 @@ class CoupledModel:
         self.ntspos = max(1, round(seg_s / cfg.ocean.dtts))
 
         jmt, imt = grid.jmt, grid.imt
+        area = (grid.cst[:, None] * grid.dyt[:, None]
+                * grid.dxt[None, :]) * (topo.kmt > 0)
+        area[:, 0] = 0.0
+        area[:, -1] = 0.0
+        self.area2d = jnp.asarray(area, dtype=cfg.np_dtype)
+        self.co2ccn = 280.0     # atmospheric CO2 [ppmv] (co2ccn)
+        self.relyr = 0.0        # fractional year, advanced by run()
         f = 2.0 * OMEGA * np.sin(grid.yu / RADIAN)
         self.fcor_u = jnp.asarray(
             np.broadcast_to(f[:, None], (jmt, imt)), dtype=cfg.np_dtype)
@@ -90,11 +97,15 @@ class CoupledModel:
 
     def _default_ocean_ic(self):
         g = self.grid
-        t0 = np.zeros((self.ocean.nt, g.km, g.jmt, g.imt))
+        vals = np.array([t.init for t in self.ocean.tracer_index.tracers])
+        t0 = np.broadcast_to(
+            vals[:, None, None, None],
+            (self.ocean.nt, g.km, g.jmt, g.imt)).copy()
         lat = np.broadcast_to(g.yt[:, None], (g.jmt, g.imt))
         sst = 25.0 * np.cos(np.deg2rad(lat)) ** 2
         prof = np.exp(-np.asarray(g.zt) / 1000.0e2)
         t0[0] = sst[None] * prof[:, None, None] + 2.0
+        t0[1] = 0.0
         t0 *= np.asarray(self.topo.tmask)
         return t0
 
@@ -202,21 +213,53 @@ class CoupledModel:
             + oadj["freshwater"],
             taux=dts * self.taux_w,
             tauy=dts * self.tauy_w,
+            swr=dts * dnswr,
             time=dts,
         )
         return new_atm, ice, acc
 
     # ------------------------------------------------------------------
-    def gosbc(self, acc):
-        """Accumulated fluxes -> ocean forcing (gosbc.F:66-145)."""
+    def gosbc(self, acc, state: CoupledState, sst, sss, swr_mean):
+        """Accumulated fluxes -> ocean forcing (gosbc.F:66-145), plus
+        gas-exchange and normalized virtual fluxes for the bgc tracers
+        (gasbc.F:310-470, gosbc.F:310-365)."""
+        from ..models.ocean.model import make_forcing
+
         atatm = acc["time"]
         fh = 2.389e-8 / atatm          # erg/cm^2/s -> cal/cm^2/s ~ K cm/s
         fs = -SOCN / atatm             # freshwater -> virtual salt flux
-        hflx = fh * acc["heat"] * self.embm.tmsk
-        sflx = fs * acc["freshwater"] * self.embm.tmsk
-        stf = jnp.stack([hflx, sflx])
+        tmsk = self.embm.tmsk
+        hflx = fh * acc["heat"] * tmsk
+        sflx = fs * acc["freshwater"] * tmsk
         smf = jnp.stack([acc["taux"], acc["tauy"]]) / atatm / 1.035
-        return SurfaceForcing(smf=smf, stf=stf)
+
+        idx = self.ocean.tracer_index
+        nt = self.ocean.nt
+        stf = jnp.zeros((nt,) + hflx.shape, hflx.dtype)
+        stf = stf.at[0].set(hflx).at[1].set(sflx)
+
+        if nt > 2:
+            from ..models.bgc.gasx import surface_gas_fluxes
+            surf = state.ocean.t[:, 0]
+            ao = (1.0 - state.ice.aice) * tmsk
+            gflux, _ = surface_gas_fluxes(
+                sst, sss, self.embm.wspd, ao, surf, idx,
+                co2ccn=self.co2ccn)
+            # normalized virtual fluxes (gosbc.F:312-364): every bgc
+            # tracer follows the salt flux anomaly scaled by its global
+            # average surface concentration
+            area = self.area2d
+            tsflx = jnp.sum(sflx * area) / jnp.sum(area)
+            vflux = (sflx - tsflx) / SOCN
+            gaost = jnp.sum(surf * area[None], axis=(1, 2)) \
+                / jnp.sum(area)
+            virt = gaost[:, None, None] * vflux[None]
+            virt = virt.at[0].set(0.0).at[1].set(0.0)
+            stf = (stf + gflux + virt) * tmsk[None]
+
+        return make_forcing(smf, stf, swr=swr_mean, aice=state.ice.aice,
+                            hice=state.ice.hice, hsno=state.ice.hsno,
+                            relyr=self.relyr)
 
     # ------------------------------------------------------------------
     def run_segment(self, state: CoupledState) -> CoupledState:
@@ -236,7 +279,9 @@ class CoupledModel:
             else:
                 acc = {k: acc[k] + a[k] for k in acc}
 
-        forcing = self.gosbc(acc)
+        swr_mean = acc["swr"] / acc["time"]
+        state = CoupledState(ocean=state.ocean, atm=atm, ice=ice)
+        forcing = self.gosbc(acc, state, sst, sss, swr_mean)
         ocean = state.ocean
         for _ in range(self.ntspos):
             leapfrog = (int(ocean.itt) % self.cfg.ocean.nmix) != 0
@@ -244,6 +289,9 @@ class CoupledModel:
         return CoupledState(ocean=ocean, atm=atm, ice=ice)
 
     def run(self, state: CoupledState, nseg: int) -> CoupledState:
+        seg_days = self.cfg.time.segtim_days
+        yrlen = 360.0 if self.cfg.time.eqyear else 365.0
         for _ in range(nseg):
             state = self.run_segment(state)
+            self.relyr += seg_days / yrlen
         return state

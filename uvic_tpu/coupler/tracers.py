@@ -1,0 +1,72 @@
+"""Declarative ocean tracer registry.
+
+The reference composes the tracer count additively from CPP flags
+(size.h:28-50) and assigns indices imperatively in `tracer_init`
+(UVic_ESCM.F:991-1133).  Here a declarative table is built from the
+BgcConfig: each tracer has a name, units, an initial value, and flags
+for sources / surface fluxes / virtual fluxes.  Index constants
+(itemp, isalt, idic, ...) become attributes looked up by name.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from ..config import BgcConfig
+
+
+@dataclass(frozen=True)
+class Tracer:
+    name: str
+    units: str
+    init: float              # uniform initial value (idealized IC)
+    has_source: bool = False
+    surface_flux: bool = False   # participates in gas/virtual flux exchange
+
+
+def build_registry(bgc: BgcConfig) -> List[Tracer]:
+    """Tracer table in reference order (UVic_ESCM.F tracer_init)."""
+    tr = [
+        Tracer("temp", "deg C", 10.0),
+        Tracer("salt", "(psu-35)/1000", 0.0),
+    ]
+    if bgc.carbon:
+        tr.append(Tracer("dic", "umol cm-3 (= mol m-3)", 2.30, True, True))
+        if bgc.carbon_14:
+            tr.append(Tracer("c14", "umol cm-3", 2.20, True, True))
+    if bgc.alk:
+        tr.append(Tracer("alk", "ueq cm-3 (= eq m-3)", 2.40, True, False))
+    if bgc.o2:
+        tr.append(Tracer("o2", "umol cm-3 (= mol m-3)", 0.20, True, True))
+    if bgc.suite in ("npzd", "mobi"):
+        tr.append(Tracer("po4", "mmol m-3", 0.5, True, False))
+        tr.append(Tracer("phyt", "mmol m-3", 0.14, True, False))
+        tr.append(Tracer("zoop", "mmol m-3", 0.014, True, False))
+        tr.append(Tracer("detr", "mmol m-3", 1.0e-4, True, False))
+        if bgc.nitrogen:
+            tr.append(Tracer("no3", "mmol m-3", 5.0, True, False))
+            tr.append(Tracer("diaz", "mmol m-3", 0.014, True, False))
+    return tr
+
+
+class TracerIndex:
+    """Name -> index lookup (the itemp/isalt/... registry)."""
+
+    def __init__(self, tracers: List[Tracer]):
+        self.tracers = tracers
+        self.names = [t.name for t in tracers]
+        for i, t in enumerate(tracers):
+            setattr(self, "i" + t.name, i)
+        self.nt = len(tracers)
+        self.nsrc = sum(t.has_source for t in tracers)
+        self.source_idx = [i for i, t in enumerate(tracers) if t.has_source]
+
+    def index(self, name: str) -> Optional[int]:
+        try:
+            return self.names.index(name)
+        except ValueError:
+            return None
+
+    def __contains__(self, name):
+        return name in self.names

@@ -1,0 +1,207 @@
+"""Air-sea gas exchange and carbonate chemistry.
+
+TPU-native re-design of source/common/co2calc.F (OCMIP-2 `co2calc_SWS`:
+equilibrium constants on the seawater H+ scale, alkalinity-DIC
+iteration for pH) and the gasbc.F flux block (gasbc.F:310-470):
+Wanninkhof piston velocities through the open-water fraction, Garcia &
+Gordon O2 saturation, CO2/C14 flux from dco2star.
+
+The reference's `drtsafe` bracketed Newton becomes a fixed-iteration
+safeguarded Newton vectorized over all surface points.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+XCONV = 33.7 / 3.6e5     # piston velocity conversion (gasbc.F:63)
+PERMIL = 1.0 / 1024.5
+C2K = 273.15
+
+
+def _equilibrium_constants(t, s):
+    """OCMIP constants (co2calc.F:140-270), surface pressure branch."""
+    tk = C2K + t
+    tk100 = tk / 100.0
+    tk1002 = tk100 * tk100
+    invtk = 1.0 / tk
+    dlogtk = jnp.log(tk)
+    is_ = 19.924 * s / (1000.0 - 1.005 * s)
+    is2 = is_ * is_
+    sqrtis = jnp.sqrt(is_)
+    s2 = s * s
+    sqrts = jnp.sqrt(s)
+    s15 = s ** 1.5
+    scl = s / 1.80655
+
+    bt = 0.000232 * scl / 10.811
+    st = 0.14 * scl / 96.062
+    ft = 0.000067 * scl / 18.9984
+
+    ff = jnp.exp(-162.8301 + 218.2968 / tk100 + 90.9241 * jnp.log(tk100)
+                 - 1.47696 * tk1002 + s * (0.025695 - 0.025225 * tk100
+                                           + 0.0049867 * tk1002))
+    k1 = 10.0 ** (-(3670.7 * invtk - 62.008 + 9.7944 * dlogtk
+                    - 0.0118 * s + 0.000116 * s2))
+    k2 = 10.0 ** (-(1394.7 * invtk + 4.777 - 0.0184 * s + 0.000118 * s2))
+    k1p = jnp.exp(-4576.752 * invtk + 115.540 - 18.453 * dlogtk
+                  + (-106.736 * invtk + 0.69171) * sqrts
+                  + (-0.65643 * invtk - 0.01844) * s)
+    k2p = jnp.exp(-8814.715 * invtk + 172.1033 - 27.927 * dlogtk
+                  + (-160.340 * invtk + 1.3566) * sqrts
+                  + (0.37335 * invtk - 0.05778) * s)
+    k3p = jnp.exp(-3070.75 * invtk - 18.126
+                  + (17.27039 * invtk + 2.81197) * sqrts
+                  + (-44.99486 * invtk - 0.09984) * s)
+    ksi = jnp.exp(-8904.2 * invtk + 117.400 - 19.334 * dlogtk
+                  + (-458.79 * invtk + 3.5913) * sqrtis
+                  + (188.74 * invtk - 1.5998) * is_
+                  + (-12.1652 * invtk + 0.07871) * is2
+                  + jnp.log(1.0 - 0.001005 * s))
+    kw = jnp.exp(-13847.26 * invtk + 148.9802 - 23.6521 * dlogtk
+                 + (118.67 * invtk - 5.977 + 1.0495 * dlogtk) * sqrts
+                 - 0.01615 * s)
+    ks = jnp.exp(-4276.1 * invtk + 141.328 - 23.093 * dlogtk
+                 + (-13856.0 * invtk + 324.57 - 47.986 * dlogtk) * sqrtis
+                 + (35474.0 * invtk - 771.54 + 114.723 * dlogtk) * is_
+                 - 2698.0 * invtk * is_ ** 1.5 + 1776.0 * invtk * is2
+                 + jnp.log(1.0 - 0.001005 * s))
+    kf = jnp.exp(1590.2 * invtk - 12.641 + 1.525 * sqrtis
+                 + jnp.log(1.0 - 0.001005 * s))
+    kb = jnp.exp((-8966.90 - 2890.53 * sqrts - 77.942 * s
+                  + 1.728 * s15 - 0.0996 * s2) * invtk
+                 + (148.0248 + 137.1942 * sqrts + 1.62142 * s)
+                 + (-24.4344 - 25.085 * sqrts - 0.2474 * s) * dlogtk
+                 + 0.053105 * sqrts * tk
+                 + jnp.log((1 + (st / ks) + (ft / kf)) / (1 + (st / ks))))
+    return dict(k1=k1, k2=k2, k1p=k1p, k2p=k2p, k3p=k3p, ksi=ksi, kw=kw,
+                ks=ks, kf=kf, kb=kb, ff=ff, bt=bt, st=st, ft=ft)
+
+
+def _ta_residual(h, k, dic, ta, pt, sit):
+    """Total alkalinity residual f(H) (OCMIP ta_iter_SWS)."""
+    x2 = h * h
+    x3 = x2 * h
+    k12 = k["k1"] * k["k2"]
+    k12p = k["k1p"] * k["k2p"]
+    k123p = k12p * k["k3p"]
+    c = 1.0 + k["st"] / k["ks"] + k["ft"] / k["kf"]
+    a = x3 + k["k1p"] * x2 + k12p * h + k123p
+    b = x2 + k["k1"] * h + k12
+    f = (k["k1"] * h * dic / b + 2.0 * dic * k12 / b
+         + k["bt"] / (1.0 + h / k["kb"]) + k["kw"] / h
+         + pt * k12p * h / a + 2.0 * pt * k123p / a
+         + sit / (1.0 + h / k["ksi"])
+         - h / c
+         - k["st"] / (1.0 + k["ks"] / (h / c))
+         - k["ft"] / (1.0 + k["kf"] / (h / c))
+         - pt * x3 / a
+         - ta)
+    return f
+
+
+def co2calc_sws(t, s, dic_in, ta_in, co2ppm, pt_in=0.0, sit_in=0.0,
+                atmpres=1.0, ph_lo=6.0, ph_hi=10.0, n_iter=40):
+    """Surface carbonate chemistry (co2calc.F co2calc_SWS).
+
+    dic_in/ta_in in umol/cm^3 (mol/m^3); co2ppm in ppmv.
+    Returns dict with co2star, dco2star, pCO2 [uatm], pH, CO3.
+    """
+    dic = dic_in * PERMIL
+    ta = ta_in * PERMIL
+    pt = pt_in * PERMIL
+    sit = sit_in * PERMIL
+    co2 = co2ppm * 1.0e-6
+    k = _equilibrium_constants(t, s)
+
+    # safeguarded Newton (drtsafe, co2calc.F:407-470): bisect when the
+    # Newton step leaves the bracket
+    lo = jnp.full_like(t, 10.0 ** (-ph_hi))
+    hi = jnp.full_like(t, 10.0 ** (-ph_lo))
+    h0 = jnp.sqrt(lo * hi)
+
+    def body(i, carry):
+        h, lo, hi = carry
+        f = _ta_residual(h, k, dic, ta, pt, sit)
+        eps = 1e-8 * h
+        df = (_ta_residual(h + eps, k, dic, ta, pt, sit) - f) / eps
+        lo = jnp.where(f > 0, h, lo)       # residual decreasing in h
+        hi = jnp.where(f > 0, hi, h)
+        h_newton = h - f / df
+        bad = (h_newton <= lo) | (h_newton >= hi) | ~jnp.isfinite(h_newton)
+        h_new = jnp.where(bad, jnp.sqrt(lo * hi), h_newton)
+        return h_new, lo, hi
+
+    h, _, _ = jax.lax.fori_loop(0, n_iter, body, (h0, lo, hi))
+
+    h2 = h * h
+    k12 = k["k1"] * k["k2"]
+    co2star = dic * h2 / (h2 + k["k1"] * h + k12)
+    co2starair = co2 * k["ff"] * atmpres
+    dco2star = co2starair - co2star
+    ph = -jnp.log10(h)
+    pco2 = co2star / k["ff"] / 1.0e-6
+    co3 = k12 * co2star / h2 / PERMIL
+    return dict(co2star=co2star / PERMIL, dco2star=dco2star / PERMIL,
+                pco2=pco2, ph=ph, co3=co3)
+
+
+def o2_saturation(t, s):
+    """O2 saturation [mol/m^3] (Garcia & Gordon 1992; gasbc.F:404-411)."""
+    f1 = jnp.log((298.15 - t) / (C2K + t))
+    f2 = f1 * f1
+    f3 = f2 * f1
+    f4 = f3 * f1
+    f5 = f4 * f1
+    o2sat = jnp.exp(2.00907 + 3.22014 * f1 + 4.05010 * f2
+                    + 4.94457 * f3 - 2.56847e-1 * f4 + 3.88767 * f5
+                    + s * (-6.24523e-3 - 7.37614e-3 * f1
+                           - 1.03410e-2 * f2 - 8.17083e-3 * f3)
+                    - 4.88682e-7 * s * s)
+    return o2sat / 22391.6 * 1000.0
+
+
+def schmidt_co2(t):
+    return 2073.1 - 125.62 * t + 3.6276 * t ** 2 - 0.043219 * t ** 3
+
+
+def schmidt_o2(t):
+    return 1638.0 - 81.83 * t + 1.483 * t ** 2 - 0.008004 * t ** 3
+
+
+def piston_velocity(wspd_cms, schmidt, open_water):
+    """Wanninkhof (1992) piston velocity [cm/s] (gasbc.F:360-363)."""
+    return open_water * XCONV * (wspd_cms * 0.01) ** 2 \
+        * (schmidt / 660.0) ** -0.5
+
+
+def surface_gas_fluxes(sst, sss, wspd, open_water, surf_tracers, idx,
+                       co2ccn=280.0, alk_default=None):
+    """Gas-exchange surface fluxes for dic/o2 (gasbc.F:330-415).
+
+    surf_tracers: (nt, jmt, imt) surface tracer fields (segment means).
+    Returns (nt, jmt, imt) flux array [tracer-units cm/s], positive into
+    the ocean, plus the carbonate diagnostics.
+    """
+    sst_c = jnp.clip(sst, -2.0, 35.0)
+    sss_c = jnp.clip(sss, 0.0, 45.0)
+    flux = jnp.zeros_like(surf_tracers)
+    diags = {}
+    if "dic" in idx:
+        dic = surf_tracers[idx.idic]
+        if "alk" in idx:
+            ta = surf_tracers[idx.ialk]
+        else:
+            ta = 2.36775 * sss_c / 35.0 if alk_default is None \
+                else alk_default
+        carb = co2calc_sws(sst_c, sss_c, dic, ta, co2ccn)
+        pv = piston_velocity(wspd, schmidt_co2(sst_c), open_water)
+        flux = flux.at[idx.idic].set(pv * carb["dco2star"])
+        diags.update(pco2=carb["pco2"], ph=carb["ph"], co3=carb["co3"])
+    if "o2" in idx:
+        o2 = surf_tracers[idx.io2]
+        pv = piston_velocity(wspd, schmidt_o2(sst_c), open_water)
+        o2sat = o2_saturation(sst_c, sss_c)  # mol/m^3 == umol/cm^3
+        flux = flux.at[idx.io2].set(pv * (o2sat - o2))
+    return flux, diags

@@ -44,9 +44,31 @@ class SurfaceForcing:
 
     smf : (2, jmt, imt) wind stress at U cells [dyn/cm^2 / rho0 -> cm^2/s^2]
     stf : (nt, jmt, imt) surface tracer fluxes [tracer-unit * cm/s]
+    swr : (jmt, imt) downward surface shortwave [erg/cm^2/s] (bgc light)
+    aice/hice/hsno : sea-ice state for light attenuation under ice
+    relyr : fractional year for the seasonal declination (bgc)
     """
     smf: jnp.ndarray
     stf: jnp.ndarray
+    swr: jnp.ndarray = None
+    aice: jnp.ndarray = None
+    hice: jnp.ndarray = None
+    hsno: jnp.ndarray = None
+    relyr: jnp.ndarray = None
+
+
+def make_forcing(smf, stf, swr=None, aice=None, hice=None, hsno=None,
+                 relyr=0.0):
+    """SurfaceForcing with zero-filled optional fields."""
+    z = jnp.zeros_like(smf[0])
+    return SurfaceForcing(
+        smf=smf, stf=stf,
+        swr=z + 2.0e5 if swr is None else swr,
+        aice=z if aice is None else aice,
+        hice=z if hice is None else hice,
+        hsno=z if hsno is None else hsno,
+        relyr=jnp.asarray(relyr, smf.dtype),
+    )
 
 
 class OceanModel:
@@ -122,14 +144,48 @@ class OceanModel:
         self.sf_filter_mask = jn((topo.land_map <= 0).astype(np.float64))
 
         self.nt = params.nt
+        self.tracer_index = params.tracer_index
+
+        # biogeochemistry source model (tracer.F npzd section)
+        self.npzd = None
+        if cfg.bgc.suite in ("npzd", "mobi"):
+            from ...models.bgc.npzd import Npzd, NpzdParams
+            nz_params = NpzdParams(
+                dtnpzd=cfg.bgc.dtnpzd,
+                nitrogen=cfg.bgc.nitrogen, o2=cfg.bgc.o2,
+                carbon=cfg.bgc.carbon, alk=cfg.bgc.alk)
+            self._npzd_params = nz_params
+            self.npzd = {
+                True: Npzd(nz_params, g, self.tracer_index,
+                           2 * cfg.ocean.dtts, dt),
+                False: Npzd(nz_params, g, self.tracer_index,
+                            cfg.ocean.dtts, dt),
+            }
+            self.tlat_rad = jn(np.deg2rad(
+                np.broadcast_to(g.yt[:, None], (g.jmt, g.imt))))
+
         self._step_leapfrog = jax.jit(partial(self._step, leapfrog=True),
                                       donate_argnums=(0,))
         self._step_forward = jax.jit(partial(self._step, leapfrog=False),
                                      donate_argnums=(0,))
+        self._run_scan_cache = {}
 
     # ------------------------------------------------------------------
     def init_state(self, t_init=None) -> OceanState:
         g = self.params.grid
+        if t_init is None:
+            # uniform idealized ICs from the tracer registry
+            vals = np.array([t.init for t in self.tracer_index.tracers])
+            t_init = (vals[:, None, None, None]
+                      * np.asarray(self.params.topo.tmask)[None])
+        t_init = np.asarray(t_init)
+        if t_init.shape[0] < self.nt:
+            # physics-only IC extended with registry defaults for bgc
+            vals = np.array([t.init for t in self.tracer_index.tracers])
+            full = (vals[:, None, None, None]
+                    * np.asarray(self.params.topo.tmask)[None])
+            full[:t_init.shape[0]] = t_init
+            t_init = full
         return init_ocean_state(self.nt, g.km, g.jmt, g.imt,
                                 self.cfg.np_dtype, t_init)
 
@@ -145,21 +201,38 @@ class OceanModel:
 
     # ------------------------------------------------------------------
     def _step(self, state: OceanState, forcing: SurfaceForcing, *,
-              leapfrog: bool) -> OceanState:
+              leapfrog) -> OceanState:
+        """One ocean step. ``leapfrog`` may be a Python bool (two traced
+        variants) or a traced bool (single trace selecting time levels
+        and intervals with `where` — used by the scan driver)."""
         cfg = self.cfg.ocean
         g = self.g
 
-        if leapfrog:
-            c2dtts, c2dtuv, c2dtsf = 2 * cfg.dtts, 2 * cfg.dtuv, 2 * cfg.dtsf
-            tm1, t_tau = state.tm1, state.t
-            um1_int, u_int = state.um1, state.u
-            psi0, psi1 = state.psi0, state.psi1
+        if isinstance(leapfrog, bool):
+            if leapfrog:
+                c2dtts, c2dtuv, c2dtsf = (2 * cfg.dtts, 2 * cfg.dtuv,
+                                          2 * cfg.dtsf)
+                tm1, t_tau = state.tm1, state.t
+                um1_int, u_int = state.um1, state.u
+                psi0, psi1 = state.psi0, state.psi1
+            else:
+                # forward mixing step: tau-1 <- tau (mom.F:119-148)
+                c2dtts, c2dtuv, c2dtsf = cfg.dtts, cfg.dtuv, cfg.dtsf
+                tm1, t_tau = state.t, state.t
+                um1_int, u_int = state.u, state.u
+                psi0, psi1 = state.psi0, state.psi0
         else:
-            # forward mixing step: tau-1 <- tau (mom.F:119-148)
-            c2dtts, c2dtuv, c2dtsf = cfg.dtts, cfg.dtuv, cfg.dtsf
-            tm1, t_tau = state.t, state.t
-            um1_int, u_int = state.u, state.u
-            psi0, psi1 = state.psi0, state.psi0
+            lf = leapfrog
+            one = jnp.asarray(1.0, state.t.dtype)
+            fac = jnp.where(lf, 2.0 * one, one)
+            c2dtts, c2dtuv, c2dtsf = (fac * cfg.dtts, fac * cfg.dtuv,
+                                      fac * cfg.dtsf)
+            tm1 = jnp.where(lf, state.tm1, state.t)
+            t_tau = state.t
+            um1_int = jnp.where(lf, state.um1, state.u)
+            u_int = state.u
+            psi0 = state.psi0
+            psi1 = jnp.where(lf, state.psi1, state.psi0)
 
         # full velocities at both time levels
         u_tau = self.full_velocity(u_int, psi0)
@@ -202,9 +275,23 @@ class OceanModel:
             vet_t, vnt_t, vbt_t = vet, vnt, vbt
             aidif = 0.0
 
+        # biogeochemistry sources (tracer.F:256-521)
+        source = None
+        if self.npzd is not None:
+            if isinstance(leapfrog, bool):
+                source = self.npzd[leapfrog].sources(
+                    tm1, self.kmt, self.tmask, forcing.swr, forcing.aice,
+                    forcing.hice, forcing.hsno, self.tlat_rad,
+                    forcing.relyr)
+            else:
+                source = self.npzd[True].sources(
+                    tm1, self.kmt, self.tmask, forcing.swr, forcing.aice,
+                    forcing.hice, forcing.hsno, self.tlat_rad,
+                    forcing.relyr, c2dtts=c2dtts)
+
         # tracer step (tracer.F)
         t_new = tracer_step(
-            t_tau, tm1, vet_t, vnt_t, vbt_t, stf, btf, None,
+            t_tau, tm1, vet_t, vnt_t, vbt_t, stf, btf, source,
             diff_cbt, self.kmt, self.tmask, g, c2dtts,
             cfg.tracer_advection, aidif, self.cyclic, iso=iso)
 
@@ -267,6 +354,28 @@ class OceanModel:
             leapfrog = (int(state.itt) % nmix) != 0
             state = self.step(state, forcing, leapfrog=leapfrog)
         return state
+
+    def run_scan(self, state: OceanState, forcing: SurfaceForcing,
+                 nsteps: int) -> OceanState:
+        """Run ``nsteps`` inside ONE jitted `lax.scan`: the mixing-step
+        selection is data-dependent (itt % nmix), so a single trace
+        covers both step types and per-step dispatch overhead vanishes.
+        This is the production inner loop (the reference's segment of
+        ocean steps runs as one device program)."""
+        fn = self._run_scan_cache.get(nsteps)
+        if fn is None:
+            nmix = self.cfg.ocean.nmix
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def fn(s, f):
+                def body(carry, _):
+                    lf = (carry.itt % nmix) != 0
+                    return self._step(carry, f, leapfrog=lf), None
+                out, _ = jax.lax.scan(body, s, None, length=nsteps)
+                return out
+
+            self._run_scan_cache[nsteps] = fn
+        return fn(state, forcing)
 
 
 def eos_state_from(c, to, so, t):

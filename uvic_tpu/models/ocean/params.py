@@ -76,7 +76,10 @@ class OceanParams:
         # unless configured otherwise
         self.dtxcel = np.ones(g.km, dtype=dt)
 
-        self.nt = 2  # physics tracers; bgc suites extend this
+        # tracer registry (additive composition, size.h:28-50)
+        from ...coupler.tracers import TracerIndex, build_registry
+        self.tracer_index = TracerIndex(build_registry(cfg.bgc))
+        self.nt = self.tracer_index.nt
 
 
 def build_ocean_params(cfg: ModelConfig, kmt: np.ndarray | None = None,

@@ -99,7 +99,10 @@ def tropic_step(zu, psi0, psi1, ptd_hist, ptdb_hist, cf_unit, cf_acor,
         forc = fir_filter(forc, mask, npass_j, "symmetric", cyclic)
 
     # initial guess extrapolated from the last two solutions
-    fxa = 1.0 if leapfrog else 0.5
+    if isinstance(leapfrog, bool):
+        fxa = 1.0 if leapfrog else 0.5
+    else:
+        fxa = jnp.where(leapfrog, 1.0, 0.5).astype(zu.dtype)
     guess = fxa * (2.0 * ptd_hist - ptdb_hist)
     if cyclic:
         guess = guess.at[:, 0].set(guess[:, -2]).at[:, -1].set(guess[:, 1])
@@ -120,7 +123,10 @@ def tropic_step(zu, psi0, psi1, ptd_hist, ptdb_hist, cf_unit, cf_acor,
     psi0_new = psi_new
 
     # save solution history for next step's guess (tropic.F:275-293)
-    ptd_save = ptd if leapfrog else 2.0 * ptd
+    if isinstance(leapfrog, bool):
+        ptd_save = ptd if leapfrog else 2.0 * ptd
+    else:
+        ptd_save = jnp.where(leapfrog, ptd, 2.0 * ptd)
     return psi0_new, psi1_new, ptd_save, ptd_hist, iters, est, converged
 
 
