@@ -31,15 +31,14 @@ def main(nsteps=20, dtype="float32"):
 
     m, state, forcing = ge._flagship(small=False, dtype=dtype)
     g = m.params.grid
-    step = jax.jit(lambda s, f: m._step(s, f, leapfrog=True))
 
-    # warmup / compile
-    state = step(state, forcing)
+    # production inner loop: nsteps per device program (lax.scan), the
+    # same structure as a coupled segment of ocean steps
+    state = m.run_scan(state, forcing, nsteps)   # compile + warmup
     jax.block_until_ready(state)
 
     t0 = time.perf_counter()
-    for _ in range(nsteps):
-        state = step(state, forcing)
+    state = m.run_scan(state, forcing, nsteps)
     jax.block_until_ready(state)
     dt_wall = (time.perf_counter() - t0) / nsteps
 

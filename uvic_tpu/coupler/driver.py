@@ -77,6 +77,12 @@ class CoupledModel:
             np.broadcast_to(f[:, None], (jmt, imt)), dtype=cfg.np_dtype)
         self.umsk = jnp.asarray((topo.kmu > 0).astype(np.float64),
                                 dtype=cfg.np_dtype)
+        # river routing (rivmodel)
+        from ..models.embm.rivers import RiverModel
+        area_full = (grid.cst[:, None] * grid.dyt[:, None]
+                     * grid.dxt[None, :])
+        self.rivers = RiverModel(topo.kmt, area_full, grid.cyclic)
+
         # wind stress on the ocean/ice from the prescribed EMBM winds
         w = self.embm.winds
         wmag = jnp.sqrt(w[0] ** 2 + w[1] ** 2) + EPSLN
@@ -206,10 +212,12 @@ class CoupledModel:
 
         # ---- flux accumulation for the coupler (sum_flux) ------------
         ocean_msk = embm.tmsk
+        # route land runoff to ocean discharge cells (rivmodel)
+        disch = self.rivers.discharge(runoff * embm.lmsk)
         acc = dict(
             heat=dts * (dnswr - uplwr - upltnt - upsens) * ocean_msk
             + oadj["heat"],
-            freshwater=dts * (precip - evap - psno) * ocean_msk
+            freshwater=dts * (precip - evap - psno + disch) * ocean_msk
             + oadj["freshwater"],
             taux=dts * self.taux_w,
             tauy=dts * self.tauy_w,

@@ -1,0 +1,372 @@
+"""MTLM: MOSES/TRIFFID-derived land surface + dynamic vegetation.
+
+TPU-native re-design of source/mtlm/ (MOSES surface exchange + TRIFFID
+dynamic vegetation + soil carbon, Cox 2001):
+
+- the reference runs on a compressed 1-D list of LAND_PTS points
+  (mtlmio.F loadland/unloadland pack/unpack); here everything stays as
+  dense masked (jmt, imt) fields — the grid is small and the VPU
+  processes the masked lanes for free,
+- photosynthesis: Collatz C3/C4 with the smoothed-minimum (quadratic)
+  colimitation exactly as LEAF (canopy.F:99-280), big-leaf scaled by
+  FPAR (canopy.F:1-47, sf_stom.F),
+- leaf phenology (phenol.F) and leaf turnover (leaf_lit.F),
+- TRIFFID (triffid.F/vegcarb.F/lotka.F): balanced-growth allocation,
+  implicit growth update, Lotka competition with the height-based
+  dominance hierarchy resolved by explicit tree/grass pairs, litter,
+  soil carbon with implicit decay (soilcarb.F),
+- soil respiration (microbe.F).
+
+PFT parameter tables reproduce mtlm_data.h:60-101 (BT, NT, C3G, C4G,
+shrub). SI units like the reference land model (kg C/m^2, seconds).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+NPFT = 5
+# parameter tables (mtlm_data.h)                BT      NT     C3G    C4G     S
+C3 = np.array([1, 1, 1, 0, 1])
+ALPHA = np.array([0.06, 0.06, 0.06, 0.040, 0.06])
+A_WL = np.array([0.65, 0.65, 0.005, 0.005, 0.10])
+A_WS = np.array([10.0, 10.0, 1.0, 1.0, 10.0])
+B_WL = np.array([1.667] * 5)
+DGL_DM = np.array([100.0] * 5)
+DGL_DT = np.array([9.0, 9.0, 0.0, 0.0, 9.0])
+DQCRIT = np.array([0.090, 0.060, 0.100, 0.075, 0.100])
+ETA_SL = np.array([0.01] * 5)
+F0 = np.array([0.875, 0.875, 0.900, 0.800, 0.900])
+FSMC_OF = np.array([0.85, 0.60, 0.05, 0.00, 0.50])
+GLMIN = np.array([1.0e-6] * 5)
+G_AREA = np.array([0.004, 0.004, 0.10, 0.10, 0.05])
+G_GROW = np.array([20.0] * 5)
+G_LEAF_0 = np.array([0.25] * 5)
+G_ROOT = np.array([0.25] * 5)
+G_WOOD = np.array([0.01, 0.01, 0.20, 0.20, 0.05])
+KPAR = np.array([0.50] * 5)
+LAI_MAX = np.array([8.0, 8.0, 3.5, 3.5, 3.5])
+LAI_MIN = np.array([3.0, 3.0, 1.0, 1.0, 1.0])
+NL0 = np.array([0.036, 0.030, 0.054, 0.027, 0.027])
+NR_NL = np.array([2.0] * 5)
+NS_NL = np.array([0.10, 0.10, 1.0, 1.0, 0.10])
+OMEGA_L = np.array([0.15, 0.15, 0.15, 0.17, 0.15])
+R_GROW = np.array([0.25] * 5)
+SIGL = np.array([0.0375, 0.1000, 0.0250, 0.0500, 0.0500])
+TLEAF_OF = np.array([273.15, 243.15, 258.15, 258.15, 243.15])
+TLOW = np.array([-10.0, -15.0, -5.0, 8.0, -10.0])
+TUPP = np.array([33.0, 25.0, 33.0, 42.0, 33.0])
+
+ZERODEGC = 273.15
+KAPS = 0.35e-8      # microbe.F:56
+Q10 = 2.0
+FRAC_MIN = 0.01
+FRAC_SEED = 0.01
+DENOM_MIN = 1.0e-6
+EPCO2 = 1.5194      # ratio molecular weights co2/air
+EPO2 = 1.106
+O2_FRAC = 0.23
+
+
+@struct.dataclass
+class LandState:
+    frac: jnp.ndarray     # (NPFT+1, jmt, imt) PFT + soil fractions
+    ht: jnp.ndarray       # (NPFT, jmt, imt) canopy height [m]
+    lai: jnp.ndarray      # (NPFT, jmt, imt)
+    cs: jnp.ndarray       # (jmt, imt) soil carbon [kg C/m2]
+    tsoil: jnp.ndarray    # (jmt, imt) soil temperature [K]
+    # accumulators for the TRIFFID cadence (daily sums)
+    npp_acc: jnp.ndarray     # (NPFT, jmt, imt) [kg C/m2/360d units]
+    gleaf_acc: jnp.ndarray
+    resp_w_acc: jnp.ndarray
+    resp_s_acc: jnp.ndarray  # (jmt, imt)
+    nacc: jnp.ndarray        # scalar accumulation count
+
+
+def init_land_state(jmt, imt, lmask, dtype):
+    frac = np.zeros((NPFT + 1, jmt, imt))
+    frac[:NPFT] = 0.05
+    frac[2] = 0.4          # C3 grass dominant initial cover
+    frac[NPFT] = 1.0 - frac[:NPFT].sum(0)
+    frac *= lmask[None]
+    lai = np.maximum(LAI_MIN[:, None, None] * np.ones((NPFT, jmt, imt)),
+                     0.0) * lmask[None]
+    ht = A_WL[:, None, None] / (A_WS * ETA_SL)[:, None, None] \
+        * lai ** (B_WL[:, None, None] - 1.0) * lmask[None]
+    z = np.zeros((jmt, imt))
+    return LandState(
+        frac=jnp.asarray(frac, dtype), ht=jnp.asarray(ht, dtype),
+        lai=jnp.asarray(lai, dtype),
+        cs=jnp.asarray(10.0 * lmask, dtype),
+        tsoil=jnp.asarray(283.0 * np.ones((jmt, imt)), dtype),
+        npp_acc=jnp.zeros((NPFT, jmt, imt), dtype),
+        gleaf_acc=jnp.zeros((NPFT, jmt, imt), dtype),
+        resp_w_acc=jnp.zeros((NPFT, jmt, imt), dtype),
+        resp_s_acc=jnp.asarray(z, dtype),
+        nacc=jnp.zeros((), jnp.int32),
+    )
+
+
+def leaf_photosynthesis(n, dq, apar, tl_k, ca, oa, pstar, fsmc):
+    """Collatz leaf model for PFT n (canopy.F LEAF:99-280).
+    Returns (gl [m/s], al net assimilation [mol CO2/m2/s], rd)."""
+    c3 = C3[n] == 1
+    fdc = 0.015 if c3 else 0.025
+    neffc = 0.64e-3 if c3 else 0.32e-3
+    tdegc = tl_k - ZERODEGC
+    vcmax = neffc * NL0[n]
+    qtenf = vcmax * 2.0 ** (0.1 * (tdegc - 25.0))
+    denom = ((1 + jnp.exp(0.3 * (tdegc - TUPP[n])))
+             * (1 + jnp.exp(0.3 * (TLOW[n] - tdegc))))
+    vcm = qtenf / denom
+    rd = fdc * qtenf
+
+    if c3:
+        tau = 2600.0 * 0.57 ** (0.1 * (tdegc - 25.0))
+        ccp = 0.5 * oa / tau
+    else:
+        ccp = jnp.zeros_like(oa)
+    ci = (ca - ccp) * F0[n] * (1.0 - dq / DQCRIT[n]) + ccp
+    acr = apar / 2.19e5
+    if c3:
+        kc = 30.0 * 2.1 ** (0.1 * (tdegc - 25.0))
+        ko = 30000.0 * 1.2 ** (0.1 * (tdegc - 25.0))
+        wcarb = vcm * (ci - ccp) / (ci + kc * (1.0 + oa / ko))
+        wlite = ALPHA[n] * acr * (ci - ccp) / (ci + 2 * ccp)
+        wexpt = 0.5 * vcm
+    else:
+        wcarb = vcm
+        wlite = ALPHA[n] * acr
+        wexpt = 20000.0 * vcm * ci / pstar
+
+    def smooth_min(w1, w2, beta):
+        b2 = -(w1 + w2)
+        b3 = w1 * w2
+        disc = jnp.maximum(b2 * b2 / (4 * beta * beta) - b3 / beta, 0.0)
+        return -b2 / (2 * beta) - jnp.sqrt(disc)
+
+    wp = smooth_min(wcarb, wlite, 0.83)
+    wl = smooth_min(wp, wexpt, 0.93)
+    al = (wl - rd) * fsmc
+    # stomata closed where dry air / no light / no soil moisture
+    closed = (fsmc <= 0.0) | (dq >= DQCRIT[n]) | (apar <= 0.0)
+    al = jnp.where(closed, -rd * fsmc, al)
+    conv = 8.3144 * tl_k
+    glco2 = jnp.maximum(1.6 * al * conv / jnp.maximum(ca - ci, 1e-10),
+                        GLMIN[n])
+    gl = jnp.where(closed, GLMIN[n], 1.6 * glco2)
+    return gl, al, rd
+
+
+def sf_stom(n, co2_ppm, fsmc, ht, ipar, lai, pstar, tstar_k, dq):
+    """Canopy-scaled fluxes for PFT n (sf_stom.F): returns
+    (gpp, npp, resp_w, gc) in kg C/m2/s and m/s."""
+    fpar = (1.0 - jnp.exp(-KPAR[n] * lai)) / KPAR[n]
+    ca = co2_ppm * 1.0e-6 / EPCO2 * pstar
+    oa = O2_FRAC / EPO2 * pstar
+    apar = (1.0 - OMEGA_L[n]) * ipar
+    gl, anetl, rd = leaf_photosynthesis(n, dq, apar, tstar_k, ca, oa,
+                                        pstar, fsmc)
+    anetc = anetl * fpar
+    gc = fpar * gl
+    rdc = rd * fpar
+
+    lai_bal = (A_WS[n] * ETA_SL[n] * jnp.maximum(ht, 1e-3)
+               / A_WL[n]) ** (1.0 / (B_WL[n] - 1.0))
+    root = SIGL[n] * lai_bal
+    lai_s = jnp.maximum(lai, 1e-3)
+    nl = (fpar / lai_s) * NL0[n]
+    nl_bal = (1.0 - jnp.exp(-KPAR[n] * lai_bal)) \
+        / (KPAR[n] * jnp.maximum(lai_bal, 1e-3)) * NL0[n]
+    n_leaf = nl * SIGL[n] * lai_s
+    n_root = NR_NL[n] * nl_bal * root
+    n_stem = NS_NL[n] * nl_bal * ETA_SL[n] * ht * lai_s
+    gpp = 12.0e-3 * (anetc + rdc * fsmc)
+    resp_p_m = 12.0e-3 * rdc * (n_leaf * fsmc + n_stem + n_root) \
+        / jnp.maximum(n_leaf, 1e-10)
+    resp_w = 12.0e-3 * rdc * n_stem / jnp.maximum(n_leaf, 1e-10)
+    resp_p_g = R_GROW[n] * (gpp - resp_p_m)
+    npp = gpp - (resp_p_m + resp_p_g)
+    return gpp, npp, resp_w, gc
+
+
+def soil_respiration(cs, tsoil_k, sth=0.7):
+    """RESP_S = KAPS*CS*FSTH*FTEMP (microbe.F:30-80), kg C/m2/s."""
+    sth_wilt, sth_opt = 0.2, 0.5
+    fsth = jnp.where(sth <= sth_wilt, 0.2,
+                     jnp.where(sth <= sth_opt,
+                               0.2 + 0.8 * (sth - sth_wilt)
+                               / (sth_opt - sth_wilt),
+                               1.0 - 0.8 * (sth - sth_opt)))
+    ftemp = Q10 ** (0.1 * (tsoil_k - 298.15))
+    return KAPS * cs * fsth * ftemp
+
+
+def leaf_turnover(n, fsmc, tstar_k):
+    """g_leaf [/360d] (leaf_lit.F)."""
+    ft = jnp.where(tstar_k < TLEAF_OF[n],
+                   1.0 + DGL_DT[n] * (TLEAF_OF[n] - tstar_k), 1.0)
+    fm = jnp.where((tstar_k >= TLEAF_OF[n]) & (fsmc < FSMC_OF[n]),
+                   1.0 + DGL_DM[n] * (FSMC_OF[n] - fsmc), 1.0)
+    return G_LEAF_0[n] * ft * fm
+
+
+def triffid_update(state: LandState, lmask, gamma, forw=0.0):
+    """One TRIFFID step (triffid.F): vegetation carbon, competition,
+    litter, soil carbon. gamma = 1/timestep [/360days]."""
+    nacc = jnp.maximum(state.nacc, 1)
+    npp = state.npp_acc / nacc
+    g_leaf = state.gleaf_acc / nacc
+    resp_w = state.resp_w_acc / nacc
+    resp_s = state.resp_s_acc / nacc
+
+    frac = state.frac
+    ht = state.ht
+    lai = state.lai
+    eps = 1e-6
+
+    awl = A_WL[:, None, None]
+    aws = A_WS[:, None, None]
+    bwl = B_WL[:, None, None]
+    etasl = ETA_SL[:, None, None]
+    sigl = SIGL[:, None, None]
+
+    # balanced-growth pools (triffid.F:104-121)
+    lai_bal = (aws * etasl * jnp.maximum(ht, 1e-3)
+               / awl) ** (1.0 / (bwl - 1.0))
+    lai_bal = jnp.clip(lai_bal, 1e-2, 12.0)
+    leaf = sigl * lai_bal
+    root = leaf
+    wood = awl * lai_bal ** bwl
+    phen = jnp.clip(lai / jnp.maximum(lai_bal, eps), 0.01, 1.0)
+
+    # ---- vegcarb/growth: implicit wood increment (vegcarb.F) ----------
+    lai_v = jnp.maximum(lai_bal, 1e-2)
+    lit_c_l = g_leaf * leaf + G_ROOT[:, None, None] * root \
+        + G_WOOD[:, None, None] * wood
+    pc = npp - lit_c_l
+    lambda_g = jnp.clip(
+        1.0 - (lai_v - LAI_MIN[:, None, None])
+        / (LAI_MAX[:, None, None] - LAI_MIN[:, None, None]), 0.0, 1.0)
+    pc_g = lambda_g * npp - lit_c_l
+
+    dl_dw = leaf / jnp.maximum(bwl * wood, eps)
+    denom = (1.0 + 2.0 * dl_dw) * gamma
+    dwood = pc_g / jnp.maximum(denom, DENOM_MIN)
+    wood_min = awl * LAI_MIN[:, None, None] ** bwl
+    wood_max = awl * LAI_MAX[:, None, None] ** bwl
+    dwood = jnp.clip(dwood, wood_min - wood, wood_max - wood)
+    wood_n = wood + dwood
+    leaf_n = sigl * (wood_n / awl) ** (1.0 / bwl)
+    root_n = leaf_n
+    dcveg = (leaf_n + root_n + wood_n) - (leaf + root + wood)
+    c_veg = leaf_n + root_n + wood_n
+    pc_s = pc - dcveg * gamma
+
+    ht_n = wood_n / (aws * etasl) * (awl / wood_n) ** (1.0 / bwl)
+    lai_bal_n = leaf_n / sigl
+    lai_n = phen * lai_bal_n
+
+    # ---- Lotka competition (lotka.F): explicit pair resolution -------
+    hc = awl / (aws * etasl) * lai_bal_n ** (bwl - 1.0)
+    pow_ = 20.0
+    c12 = 1.0 / (1.0 + jnp.exp(
+        pow_ * (hc[0] - hc[1]) / jnp.maximum(hc[0] + hc[1], eps)))
+    c34 = 1.0 / (1.0 + jnp.exp(
+        pow_ * (hc[2] - hc[3]) / jnp.maximum(hc[2] + hc[3], eps)))
+    # competition matrix com[n, m]: shading of n by m
+    one = jnp.ones_like(c12)
+    zero = jnp.zeros_like(c12)
+    com = jnp.stack([
+        jnp.stack([one, c12, zero, zero, zero]),
+        jnp.stack([1 - c12, one, zero, zero, zero]),
+        jnp.stack([one, one, one, c34, one]),
+        jnp.stack([one, one, 1 - c34, one, one]),
+        jnp.stack([one, one, zero, zero, one]),
+    ])
+    frac_vs = jnp.sum(frac[:NPFT], axis=0) + frac[NPFT]
+    nosoil = 1.0 - frac_vs
+    space = 1.0 - nosoil[None] - FRAC_MIN * (NPFT - 1) \
+        - jnp.einsum("nm...,m...->n...", com, frac[:NPFT]) \
+        + com[jnp.arange(NPFT), jnp.arange(NPFT)] * frac[:NPFT]
+    space = space - frac[:NPFT]   # exclude self-term then re-add below
+    space = space + frac[:NPFT]
+    b = pc_s * space / jnp.maximum(c_veg, eps) - G_AREA[:, None, None]
+    fracn = jnp.maximum(frac[:NPFT], FRAC_SEED)
+    dfrac = b * fracn / jnp.maximum(gamma, DENOM_MIN)
+    frac_new = jnp.clip(frac[:NPFT] + dfrac, FRAC_MIN, 1.0)
+    # renormalize against available space
+    tot = jnp.sum(frac_new, axis=0)
+    scale = jnp.minimum(1.0, (1.0 - FRAC_MIN) / jnp.maximum(tot, eps))
+    frac_new = frac_new * scale
+    soil_frac = jnp.clip(1.0 - jnp.sum(frac_new, axis=0), FRAC_MIN, 1.0)
+    frac_out = jnp.concatenate([frac_new, soil_frac[None]], axis=0)
+    dfrac = frac_new - frac[:NPFT]
+
+    # ---- litter + soil carbon (triffid.F:157-178, soilcarb.F) --------
+    lit_c = npp - gamma * (c_veg * frac_new
+                           - (c_veg - dcveg)
+                           * (frac_new - dfrac)) \
+        / jnp.maximum(frac_new, eps)
+    lit_c_t = jnp.sum(frac_new * lit_c, axis=0)
+    pc_soil = lit_c_t - resp_s
+    dpc_dcs = resp_s / jnp.maximum(state.cs, eps)
+    dcs = pc_soil / jnp.maximum(gamma + forw * dpc_dcs, DENOM_MIN)
+    cs_new = jnp.maximum(state.cs + dcs, 1e-3)
+
+    zero_acc = jnp.zeros_like(state.npp_acc)
+    return state.replace(
+        frac=frac_out * lmask[None] + state.frac * (1 - lmask[None]),
+        ht=jnp.clip(ht_n, 1e-3, 60.0) * lmask[None],
+        lai=jnp.clip(lai_n, 0.01, 12.0) * lmask[None],
+        cs=cs_new * lmask + state.cs * (1 - lmask),
+        npp_acc=zero_acc, gleaf_acc=zero_acc, resp_w_acc=zero_acc,
+        resp_s_acc=jnp.zeros_like(state.resp_s_acc),
+        nacc=jnp.zeros((), jnp.int32),
+    ), dict(lit_c_t=lit_c_t, npp=npp, resp_s=resp_s)
+
+
+def mtlm_physics_step(state: LandState, lmask, sat_c, shum, swr, rh,
+                      soilm_frac, co2_ppm=280.0, pstar=1.0e5):
+    """Per-coupling-step land physics (mtlm.F driver): photosynthesis,
+    respiration, accumulation for TRIFFID. sat_c in degC, swr in
+    erg/cm^2/s (converted to W/m2 PAR internally).
+    Returns (new_state, fluxes) with nep [kg C/m2/s] (+ = land uptake)
+    and canopy conductance diagnostics."""
+    tstar_k = sat_c + ZERODEGC
+    ipar = jnp.maximum(swr, 0.0) * 1e-3 * 0.5    # W/m2 -> PAR fraction
+    qs = 3.8011e-3 * jnp.exp(17.67 * sat_c / (sat_c + 243.5))
+    dq = jnp.maximum(qs * (1.0 - rh), 0.0)
+    fsmc = jnp.clip(soilm_frac, 0.0, 1.0)
+
+    nep = jnp.zeros_like(sat_c)
+    npp_pft = []
+    gleaf_pft = []
+    respw_pft = []
+    for n in range(NPFT):
+        gpp, npp, resp_w, gc = sf_stom(
+            n, co2_ppm, fsmc, state.ht[n], ipar, state.lai[n],
+            pstar, tstar_k, dq)
+        # accumulate in TRIFFID units [kg C/m2/360days]
+        per360 = 360.0 * 86400.0
+        npp_pft.append(npp * per360)
+        respw_pft.append(resp_w * per360)
+        gleaf_pft.append(leaf_turnover(n, fsmc, tstar_k))
+        nep = nep + state.frac[n] * npp
+    resp_s = soil_respiration(state.cs, tstar_k, 0.3 + 0.6 * fsmc)
+    nep = nep - resp_s
+
+    new = state.replace(
+        npp_acc=state.npp_acc + jnp.stack(npp_pft) * lmask[None],
+        gleaf_acc=state.gleaf_acc + jnp.stack(gleaf_pft) * lmask[None],
+        resp_w_acc=state.resp_w_acc + jnp.stack(respw_pft) * lmask[None],
+        resp_s_acc=state.resp_s_acc + resp_s * 360.0 * 86400.0 * lmask,
+        tsoil=0.99 * state.tsoil + 0.01 * tstar_k,
+        nacc=state.nacc + 1,
+    )
+    return new, dict(nep=nep * lmask, resp_s=resp_s * lmask)

@@ -131,9 +131,16 @@ class OceanModel:
         self.cf_unit = jn(cf_unit)
         self.cf_acor = jn(cf_acor)
 
-        # mixing coefficients (constvmix; vmixc.F:63-106)
+        # mixing coefficients (vmixc.F:63-106); scheme selected by config
         km, jmt, imt = g.km, g.jmt, g.imt
-        self.diff_cbt = jnp.full((km, jmt, imt), cfg.ocean.kappa_h, dtype=dt)
+        if cfg.ocean.vmix == "bryan_lewis":
+            from .vmix import bryan_lewis_profile
+            ahv = bryan_lewis_profile(np.asarray(g.zw[:km]))
+            self.diff_cbt = jnp.broadcast_to(
+                jn(ahv)[:, None, None], (km, jmt, imt)) + 0.0
+        else:
+            self.diff_cbt = jnp.full((km, jmt, imt), cfg.ocean.kappa_h,
+                                     dtype=dt)
         self.visc_cbu = jnp.full((km, jmt, imt), cfg.ocean.kappa_m, dtype=dt)
         self.dztxcl = jn(g.dzt) / bag.dtxcel
 
@@ -169,6 +176,7 @@ class OceanModel:
         self._step_forward = jax.jit(partial(self._step, leapfrog=False),
                                      donate_argnums=(0,))
         self._run_scan_cache = {}
+        self._step_eb = jax.jit(self._step_eb_impl)
 
     # ------------------------------------------------------------------
     def init_state(self, t_init=None) -> OceanState:
@@ -201,14 +209,22 @@ class OceanModel:
 
     # ------------------------------------------------------------------
     def _step(self, state: OceanState, forcing: SurfaceForcing, *,
-              leapfrog) -> OceanState:
+              leapfrog, eb_pass: int = 0) -> OceanState:
         """One ocean step. ``leapfrog`` may be a Python bool (two traced
         variants) or a traced bool (single trace selecting time levels
-        and intervals with `where` — used by the scan driver)."""
+        and intervals with `where` — used by the scan driver).
+        ``eb_pass``: 0 = normal; 1/2 = Euler-backward mixing passes
+        (mom.F:424-446 two-pass scheme)."""
         cfg = self.cfg.ocean
         g = self.g
 
-        if isinstance(leapfrog, bool):
+        if eb_pass == 2:
+            # 2nd EB pass: tendencies at tau' (stored in t), interval dt
+            c2dtts, c2dtuv, c2dtsf = cfg.dtts, cfg.dtuv, cfg.dtsf
+            tm1, t_tau = state.tm1, state.t
+            um1_int, u_int = state.um1, state.u
+            psi0, psi1 = state.psi0, state.psi1
+        elif isinstance(leapfrog, bool):
             if leapfrog:
                 c2dtts, c2dtuv, c2dtsf = (2 * cfg.dtts, 2 * cfg.dtuv,
                                           2 * cfg.dtsf)
@@ -254,6 +270,16 @@ class OceanModel:
         else:
             bmf = jnp.zeros_like(smf)
 
+        # Richardson-number mixing recomputes the coefficients per step
+        # (ppmix.F); other schemes use the precomputed fields
+        if cfg.vmix == "ppmix":
+            from .vmix import ppmix_coefficients
+            diff_cbt_base, visc_cbu = ppmix_coefficients(
+                tm1, u_tm1, self.tmask, self.umask, self.eos_c,
+                self.eos_to, self.eos_so, g, cyclic=self.cyclic)
+        else:
+            diff_cbt_base, visc_cbu = self.diff_cbt, self.visc_cbu
+
         # isopycnal/GM fields (isopyc.F), K33 into the implicit vertical
         # diffusivity (vmixc.F:146-156), GM velocities into advection
         if cfg.isopycmix:
@@ -261,7 +287,7 @@ class OceanModel:
             iso = compute_isopyc(tm1, self.tmask, self.kmt, self.eos_c,
                                  self.eos_to, self.eos_so, g, cfg,
                                  self.cyclic)
-            diff_cbt = self.diff_cbt + iso.K33
+            diff_cbt = diff_cbt_base + iso.K33
             if cfg.gent_mcwilliams:
                 vet_t = vet + iso.vetiso
                 vnt_t = vnt + iso.vntiso
@@ -271,7 +297,7 @@ class OceanModel:
             aidif = cfg.aidif
         else:
             iso = None
-            diff_cbt = self.diff_cbt
+            diff_cbt = diff_cbt_base
             vet_t, vnt_t, vbt_t = vet, vnt, vbt
             aidif = 0.0
 
@@ -314,7 +340,7 @@ class OceanModel:
         rho = eos_state_from(self.eos_c, self.eos_to, self.eos_so, t_tau)
         u_int_new, zu = clinic_step(
             u_tau, u_tm1, rho, veu, vnu, vbu, smf, bmf,
-            self.visc_cbu, self.kmu, self.umask, g, c2dtuv, self.cyclic)
+            visc_cbu, self.kmu, self.umask, g, c2dtuv, self.cyclic)
 
         # high-latitude velocity filtering (clinic.F:480-493)
         if cfg.fourfil:
@@ -330,7 +356,8 @@ class OceanModel:
             zu, psi0, psi1, state.ptd, state.ptdb,
             self.cf_unit, self.cf_acor, self.isl,
             g.dxu, g.dyu, g.csu, c2dtsf, cfg.tolrsf, cfg.mxscan,
-            leapfrog, self.cyclic, filt=sf_filt)
+            leapfrog, self.cyclic, filt=sf_filt,
+            euler2=(eb_pass == 2), save_ptd=(eb_pass != 1))
 
         return OceanState(
             tm1=t_tau, t=t_new,
@@ -342,8 +369,24 @@ class OceanModel:
     # ------------------------------------------------------------------
     def step(self, state: OceanState, forcing: SurfaceForcing,
              leapfrog: bool = True) -> OceanState:
+        if not leapfrog and self.cfg.ocean.eb:
+            return self._step_eb(state, forcing)
         fn = self._step_leapfrog if leapfrog else self._step_forward
         return fn(state, forcing)
+
+    def _step_eb_impl(self, state: OceanState,
+                      forcing: SurfaceForcing) -> OceanState:
+        """Euler-backward mixing step (mom.F:424-446): a forward
+        predictor pass (euler1) whose tau+1 fields become the tau
+        arguments for a corrector pass (euler2)."""
+        s1 = self._step(state, forcing, leapfrog=False, eb_pass=1)
+        mid = OceanState(
+            tm1=state.t, t=s1.t, um1=state.u, u=s1.u,
+            psi0=s1.psi0, psi1=state.psi0,
+            ptd=state.ptd, ptdb=state.ptdb, itt=state.itt)
+        s2 = self._step(mid, forcing, leapfrog=False, eb_pass=2)
+        # euler_shuffle: tau-1 <- tau(original), tau <- tau+1
+        return s2.replace(tm1=state.t, um1=state.u, itt=state.itt + 1)
 
     def run(self, state: OceanState, forcing: SurfaceForcing,
             nsteps: int, nmix: int | None = None) -> OceanState:

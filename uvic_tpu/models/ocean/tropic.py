@@ -83,7 +83,8 @@ def sfc5pt_unit(dxu, dyu, csu, hr, f=None, acor=0.0):
 
 def tropic_step(zu, psi0, psi1, ptd_hist, ptdb_hist, cf_unit, cf_acor,
                 isl: IslandIndex, dxu, dyu, csu, c2dtsf, tolrsf, mxscan,
-                leapfrog: bool, cyclic=True, filt=None):
+                leapfrog: bool, cyclic=True, filt=None, euler2=False,
+                save_ptd=True):
     """Solve for the change in streamfunction and update the two psi time
     levels (tropic.F:127-293).
 
@@ -117,12 +118,19 @@ def tropic_step(zu, psi0, psi1, ptd_hist, ptdb_hist, cf_unit, cf_acor,
         dpsi1 = jnp.sum(main_sum) / isl.counts[isl.imain]
         ptd = jnp.where(isl.ocean_mask > 0, ptd - dpsi1, ptd)
 
-    # psi level update (tropic.F:256-270, non-euler2 branch)
-    psi_new = psi1 + ptd
-    psi1_new = psi0
-    psi0_new = psi_new
+    # psi level update (tropic.F:256-270)
+    if euler2:
+        # 2nd Euler-backward pass: overwrite psi(1), keep psi(2)
+        psi0_new = psi1 + ptd
+        psi1_new = psi1
+    else:
+        psi0_new = psi1 + ptd
+        psi1_new = psi0
 
-    # save solution history for next step's guess (tropic.F:275-293)
+    # save solution history for next step's guess (tropic.F:275-293);
+    # the 1st Euler-backward pass skips the save
+    if not save_ptd:
+        return psi0_new, psi1_new, ptd_hist, ptdb_hist, iters, est, converged
     if isinstance(leapfrog, bool):
         ptd_save = ptd if leapfrog else 2.0 * ptd
     else:

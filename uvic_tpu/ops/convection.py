@@ -74,33 +74,16 @@ def convct_ncon(ts, kmt, eos_c, eos_to, eos_so, dztxcl, ncon: int):
 
 def _region_means(ts, label, w):
     """Thickness-weighted mean of each level's region, from the original
-    profile. label[k] = index of the region's top level (non-decreasing)."""
-    km = ts.shape[1]
-    idx = jnp.arange(km).reshape(km, 1, 1)
-    # region bottom: smallest region-start index below, minus one
-    start = (label == idx)
-    next_start = jnp.where(start, idx, km)
-    # reverse cummin gives, at k, the first start index at or below k
-    first_at_or_below = jax.lax.cummin(next_start, axis=0, reverse=True)
-    below = jnp.concatenate(
-        [first_at_or_below[1:], jnp.full_like(first_at_or_below[:1], km)],
-        axis=0)
-    bottom = below - 1
+    profile. label[k] = index of the region's top level (non-decreasing).
 
-    tw = ts * w                                    # (nt, km, j, i)
-    csum_tw = jnp.cumsum(tw, axis=1)
-    csum_w = jnp.cumsum(jnp.broadcast_to(w, ts.shape[1:]), axis=0)
-
-    def seg(c, lo, hi):
-        # sum over levels [lo, hi] along the k axis via cumsum gathers
-        c_hi = jnp.take_along_axis(c, jnp.broadcast_to(hi, c.shape), axis=-3)
-        lo_m1 = jnp.maximum(lo - 1, 0)
-        c_lom1 = jnp.take_along_axis(c, jnp.broadcast_to(lo_m1, c.shape),
-                                     axis=-3)
-        return c_hi - jnp.where(lo == 0, 0.0, c_lom1)
-
-    sum_tw = seg(csum_tw, label[None], bottom[None])
-    sum_w = seg(csum_w, label, bottom)
+    Implemented gather-free: the region membership matrix
+    M[k1,k2] = (label[k1] == label[k2]) contracts with the profile in two
+    small (km x km) einsums — VPU/MXU work instead of latency-bound
+    take_along_axis gathers (km <= ~20, so M is tiny)."""
+    same = (label[:, None] == label[None, :]).astype(ts.dtype)  # (k,k,j,i)
+    wfull = jnp.broadcast_to(w, ts.shape[1:])
+    sum_tw = jnp.einsum("kl...,nl...->nk...", same, ts * w)
+    sum_w = jnp.einsum("kl...,l...->k...", same, wfull)
     return sum_tw / sum_w
 
 
