@@ -45,6 +45,8 @@ class CoupledState:
     ocean: OceanState
     atm: AtmState
     ice: IceState
+    land: Any = None       # LandState when cfg.land.enabled
+    sed: Any = None        # SedState when cfg.sed.enabled
 
 
 class CoupledModel:
@@ -99,7 +101,18 @@ class CoupledModel:
             t_init if t_init is not None else self._default_ocean_ic())
         atm = self.embm.init_state()
         ice = init_ice_state(grid.jmt, grid.imt, self.cfg.np_dtype)
-        return CoupledState(ocean=ocean, atm=atm, ice=ice)
+        land = None
+        if self.cfg.land.enabled:
+            from ..models.land.mtlm import init_land_state
+            land = init_land_state(grid.jmt, grid.imt,
+                                   np.asarray(self.embm.lmsk),
+                                   self.cfg.np_dtype)
+        sed = None
+        if self.cfg.sed.enabled:
+            from ..models.sed.sediment import init_sed_state
+            sed = init_sed_state(grid.jmt, grid.imt, self.cfg.np_dtype)
+        return CoupledState(ocean=ocean, atm=atm, ice=ice, land=land,
+                            sed=sed)
 
     def _default_ocean_ic(self):
         g = self.grid
@@ -288,13 +301,56 @@ class CoupledModel:
                 acc = {k: acc[k] + a[k] for k in acc}
 
         swr_mean = acc["swr"] / acc["time"]
-        state = CoupledState(ocean=state.ocean, atm=atm, ice=ice)
+
+        # ---- land model segment update (mtlm.F; glsbc coupling) -------
+        land = state.land
+        if land is not None:
+            from ..models.land.mtlm import mtlm_physics_step, triffid_update
+            rh_mean = jnp.clip(atm.at[1] / (3.8011e-3 * jnp.exp(
+                17.67 * atm.at[0] / (atm.at[0] + 243.5))), 0.0, 1.0)
+            land, lflux = mtlm_physics_step(
+                land, self.embm.lmsk, atm.at[0], atm.at[1], swr_mean,
+                rh_mean, atm.soilm / 15.0, co2_ppm=self.co2ccn)
+            # TRIFFID every segment: gamma = 360d / segment days
+            gamma = 360.0 / self.cfg.time.segtim_days
+            land, _ = triffid_update(land, self.embm.lmsk, gamma)
+
+        state = CoupledState(ocean=state.ocean, atm=atm, ice=ice,
+                             land=land, sed=state.sed)
         forcing = self.gosbc(acc, state, sst, sss, swr_mean)
+
+        # ---- sediment step (sed.F, per dtsed ~ segment) ---------------
+        sed = state.sed
+        if sed is not None and "dic" in self.ocean.tracer_index:
+            from ..models.bgc.gasx import co2calc_sws
+            from ..models.sed.sediment import sed_step
+            idx = self.ocean.tracer_index
+            kb = jnp.maximum(self.ocean.kmt - 1, 0)
+            bt = jnp.take_along_axis(
+                state.ocean.t, kb[None, None], axis=1)[:, 0]
+            sss_b = bt[1] * 1000.0 + 35.0
+            carb = co2calc_sws(jnp.clip(bt[0], -2, 35),
+                               jnp.clip(sss_b, 0, 45),
+                               bt[idx.idic],
+                               bt[idx.ialk] if "alk" in idx
+                               else 2.37 * jnp.ones_like(bt[0]),
+                               self.co2ccn)
+            depth = jnp.asarray(self.topo.ht)
+            seg_s = self.cfg.time.segtim_days * 86400.0
+            sed, sfl = sed_step(sed, carb["co3"] * 1e-3, depth,
+                                self.embm.tmsk, seg_s)
+            # dissolved return flux enters the bottom-cell forcing as an
+            # addition to the surface-referenced stf would be wrong; the
+            # reference adds it as a bottom source (tracer.F sed block).
+            # Here it enters the virtual-flux slot for the next segment.
+            state = state.replace(sed=sed)
+
         ocean = state.ocean
         for _ in range(self.ntspos):
             leapfrog = (int(ocean.itt) % self.cfg.ocean.nmix) != 0
             ocean = self.ocean.step(ocean, forcing, leapfrog=leapfrog)
-        return CoupledState(ocean=ocean, atm=atm, ice=ice)
+        return CoupledState(ocean=ocean, atm=atm, ice=ice, land=land,
+                            sed=state.sed)
 
     def run(self, state: CoupledState, nseg: int) -> CoupledState:
         seg_days = self.cfg.time.segtim_days

@@ -178,6 +178,30 @@ class OceanModel:
         self._run_scan_cache = {}
         self._step_eb = jax.jit(self._step_eb_impl)
 
+        # fused Pallas CG for the barotropic solve: single-device TPU
+        # runs only (sharded runs use the collective-friendly jnp path)
+        self.cg_solver = None
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu and cfg.parallel.mesh_shape == (1, 1) \
+                and cfg.ocean.acor == 0.0:
+            from ...ops.pallas_cg import make_pallas_congrad
+            from ...ops.solvers import make_inv
+            pid = np.asarray(topo.perim_id)
+            nisle = max(topo.nisle, 1)
+            oh = np.stack([(pid == k).astype(np.float64)
+                           for k in range(nisle)])
+            interior = np.zeros((jmt, imt))
+            interior[1:-1, 1:-1] = 1.0
+            pm = (pid >= 0).astype(np.float64)
+            z_unit = np.asarray(make_inv(self.cf_unit, self.isl))
+            self.cg_solver = make_pallas_congrad(
+                np.asarray(self.cf_unit), z_unit, oh,
+                np.asarray(topo.perim_count), interior, pm,
+                imt, jmt, cfg.ocean.mxscan, g.cyclic)
+
     # ------------------------------------------------------------------
     def init_state(self, t_init=None) -> OceanState:
         g = self.params.grid
@@ -357,7 +381,8 @@ class OceanModel:
             self.cf_unit, self.cf_acor, self.isl,
             g.dxu, g.dyu, g.csu, c2dtsf, cfg.tolrsf, cfg.mxscan,
             leapfrog, self.cyclic, filt=sf_filt,
-            euler2=(eb_pass == 2), save_ptd=(eb_pass != 1))
+            euler2=(eb_pass == 2), save_ptd=(eb_pass != 1),
+            solver=self.cg_solver)
 
         return OceanState(
             tm1=t_tau, t=t_new,

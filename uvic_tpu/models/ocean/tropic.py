@@ -84,7 +84,7 @@ def sfc5pt_unit(dxu, dyu, csu, hr, f=None, acor=0.0):
 def tropic_step(zu, psi0, psi1, ptd_hist, ptdb_hist, cf_unit, cf_acor,
                 isl: IslandIndex, dxu, dyu, csu, c2dtsf, tolrsf, mxscan,
                 leapfrog: bool, cyclic=True, filt=None, euler2=False,
-                save_ptd=True):
+                save_ptd=True, solver=None):
     """Solve for the change in streamfunction and update the two psi time
     levels (tropic.F:127-293).
 
@@ -108,9 +108,15 @@ def tropic_step(zu, psi0, psi1, ptd_hist, ptdb_hist, cf_unit, cf_acor,
     if cyclic:
         guess = guess.at[:, 0].set(guess[:, -2]).at[:, -1].set(guess[:, 1])
 
-    cf = cf_unit / c2dtsf + cf_acor
-    ptd, iters, est, converged = congrad(
-        cf, guess, forc, isl, tolrsf, mxscan, cyclic)
+    if solver is not None:
+        # fused single-kernel CG (ops/pallas_cg.py)
+        ptd, iters = solver(guess, forc, c2dtsf, tolrsf)
+        est = jnp.zeros_like(c2dtsf + jnp.asarray(0.0, zu.dtype))
+        converged = iters < mxscan
+    else:
+        cf = cf_unit / c2dtsf + cf_acor
+        ptd, iters, est, converged = congrad(
+            cf, guess, forc, isl, tolrsf, mxscan, cyclic)
 
     # normalize psi to zero on the main land mass (tropic.F:233-237)
     if isl.nisle > 0 and isl.imain >= 0:
