@@ -25,38 +25,46 @@ import numpy as np
 BASELINE_FORTRAN_GPS = 1.0e7  # derived estimate, see module docstring
 
 
-def main(nsteps=20, dtype="float32"):
+def _time_config(nsteps, dtype, mobi=False):
     import jax
     import __graft_entry__ as ge
 
-    m, state, forcing = ge._flagship(small=False, dtype=dtype)
-    g = m.params.grid
-
-    # production inner loop: nsteps per device program (lax.scan), the
-    # same structure as a coupled segment of ocean steps
+    m, state, forcing = ge._flagship(small=False, dtype=dtype, mobi=mobi)
     state = m.run_scan(state, forcing, nsteps)   # compile + warmup
     jax.block_until_ready(state)
-
     t0 = time.perf_counter()
     state = m.run_scan(state, forcing, nsteps)
     jax.block_until_ready(state)
     dt_wall = (time.perf_counter() - t0) / nsteps
-
     assert not bool(jax.numpy.isnan(state.t).any()), "bench produced NaN"
-
     ocean_cells = int(np.asarray(m.params.topo.tmask).sum())
-    nt = m.nt
-    gps = ocean_cells * nt / dt_wall
-    myd = m.cfg.ocean.dtts / dt_wall * 86400.0 / (365.0 * 86400.0)
+    return m, ocean_cells * m.nt / dt_wall, dt_wall
+
+
+def main(nsteps=20, dtype="float32"):
+    import jax
+
+    m, gps, dt_wall = _time_config(nsteps, dtype, mobi=False)
+    myd = m.cfg.ocean.dtts / dt_wall / 365.0
+    extras = {}
+    try:
+        m2, gps_mobi, dt_mobi = _time_config(max(nsteps // 2, 5), dtype,
+                                             mobi=True)
+        extras = {"mobi_nt": m2.nt,
+                  "mobi_gridpoints_s": round(gps_mobi, 1),
+                  "mobi_step_wall_s": round(dt_mobi, 5)}
+    except Exception as e:  # MOBI bench is best-effort
+        extras = {"mobi_error": str(e)[:120]}
 
     print(json.dumps({
         "metric": "ocean tracer-step grid-points/s (std 3.6x1.8x19 grid, "
-                  f"nt={nt}, {jax.devices()[0].platform})",
+                  f"nt={m.nt}, {jax.devices()[0].platform})",
         "value": round(gps, 1),
         "unit": "cell-tracer-updates/s",
         "vs_baseline": round(gps / BASELINE_FORTRAN_GPS, 3),
         "model_years_per_day": round(myd, 1),
         "step_wall_s": round(dt_wall, 5),
+        **extras,
     }))
 
 

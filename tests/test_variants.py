@@ -1,0 +1,102 @@
+"""Scheme-variant tests: QUICKER advection, Euler-backward mixing,
+9-point barotropic operator, ppmix, MOBI suite, scan driver, forcing."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uvic_tpu.config import mobi_full, small_config
+from uvic_tpu.models.ocean.model import make_forcing, make_ocean
+
+
+def _setup(**ocean_kw):
+    cfg = small_config()
+    base = dict(isopycmix=False, gent_mcwilliams=False, dtts=3600.0,
+                dtuv=900.0, dtsf=900.0, tolrsf=1e8)
+    base.update(ocean_kw)
+    cfg = cfg.replace(ocean=dataclasses.replace(cfg.ocean, **base))
+    m = make_ocean(cfg)
+    g = m.params.grid
+    t0 = np.zeros((2, g.km, g.jmt, g.imt))
+    t0[0] = (20.0 * np.exp(-np.asarray(g.zt) / 1000e2))[:, None, None]
+    t0 *= np.asarray(m.params.topo.tmask)
+    yu = np.asarray(g.yu)
+    taux = np.sin(np.deg2rad(yu * 3))[:, None] * np.ones((1, g.imt))
+    f = make_forcing(jnp.asarray(np.stack([taux / 1.035,
+                                           np.zeros_like(taux)])),
+                     jnp.zeros((m.nt, g.jmt, g.imt)))
+    return m, m.init_state(t0), f
+
+
+@pytest.mark.parametrize("scheme", ["quicker", "centered", "upstream"])
+def test_advection_variants_stable(scheme):
+    m, s, f = _setup(tracer_advection=scheme)
+    s = m.run(s, f, 20)
+    assert not bool(jnp.isnan(s.t).any())
+    assert float(jnp.abs(s.t[0]).max()) < 50.0
+
+
+def test_euler_backward_mixing():
+    m, s, f = _setup(eb=True)
+    s = m.run(s, f, 20)   # includes EB mixing steps at itt%16==0
+    assert not bool(jnp.isnan(s.t).any())
+    assert int(s.itt) == 20
+
+
+@pytest.mark.xfail(reason="9-point operator: time-stepping feedback "
+                   "unstable beyond the checkerboard deflation; the "
+                   "solver itself converges on manufactured problems. "
+                   "5-point is the reference default (run/mk.in "
+                   "O_sf_5_point); 9pt stabilization is round-2 work.")
+def test_sfc9pt_operator():
+    m, s, f = _setup(sf_npt=9)
+    s = m.run(s, f, 15)
+    assert not bool(jnp.isnan(s.psi0).any())
+    assert 1e10 < float(jnp.abs(s.psi0).max()) < 1e14
+
+
+def test_ppmix_scheme():
+    m, s, f = _setup(vmix="ppmix", aidif=0.0)
+    s = m.run(s, f, 10)
+    assert not bool(jnp.isnan(s.t).any())
+
+
+def test_scan_driver_consistency():
+    m, s, f = _setup()
+    s_scan = m.run_scan(s, f, 16)
+    # scan is self-consistent across boundaries (bitwise)
+    m2, s2, f2 = _setup()
+    s_split = m2.run_scan(m2.run_scan(s2, f2, 7), f2, 9)
+    np.testing.assert_array_equal(np.asarray(s_scan.t),
+                                  np.asarray(s_split.t))
+
+
+def test_mobi_suite_runs():
+    cfg = small_config()
+    cfg = cfg.replace(
+        ocean=dataclasses.replace(cfg.ocean, isopycmix=False,
+                                  gent_mcwilliams=False, dtts=3600.0,
+                                  dtuv=900.0, dtsf=900.0, tolrsf=1e8),
+        bgc=mobi_full())
+    m = make_ocean(cfg)
+    assert m.nt >= 35
+    for name in ("dic13", "diat", "sil", "dfe", "din15", "pa231"):
+        assert name in m.tracer_index
+    s = m.init_state()
+    g = m.params.grid
+    f = make_forcing(jnp.zeros((2, g.jmt, g.imt)),
+                     jnp.zeros((m.nt, g.jmt, g.imt)))
+    s = m.run(s, f, 5)
+    assert not bool(jnp.isnan(s.t).any())
+
+
+def test_transient_forcing():
+    from uvic_tpu.io.forcing import TransientForcing, co2_series
+    tf = TransientForcing.default()
+    f1850 = tf.at(1850.0)
+    f2000 = tf.at(2000.0)
+    assert 280 < f2000["co2ccn"] < 380
+    assert f2000["co2ccn"] > f1850["co2ccn"]
+    assert co2_series().at(1000.0) == pytest.approx(280.0)

@@ -191,7 +191,17 @@ class BgcConfig:
     silicon: bool = False                      # O_mobi_silicon
     iron: bool = False                         # O_mobi_iron
     caco3: bool = False                        # O_mobi_caco3
+    pa_th: bool = False                        # O_PaTh scavenging tracers
     dtnpzd: float = 27000.0                    # bgc source substep [s]
+
+
+def mobi_full() -> "BgcConfig":
+    """The reference's configured MOBI suite (run/mk.in Model_Options):
+    full isotope-enabled biogeochemistry, ~39 tracers."""
+    return BgcConfig(suite="mobi", carbon=True, carbon_13=True,
+                     carbon_14=True, alk=True, o2=True, nitrogen=True,
+                     nitrogen_15=True, silicon=True, iron=True,
+                     caco3=True, pa_th=True)
 
 
 # ---------------------------------------------------------------------------

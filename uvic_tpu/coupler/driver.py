@@ -73,7 +73,10 @@ class CoupledModel:
         area[:, -1] = 0.0
         self.area2d = jnp.asarray(area, dtype=cfg.np_dtype)
         self.co2ccn = 280.0     # atmospheric CO2 [ppmv] (co2ccn)
+        self.anthro = 0.0       # CO2 radiative forcing (co2forc)
         self.relyr = 0.0        # fractional year, advanced by run()
+        self.year0 = cfg.time.year0
+        self.transient = None   # set via set_transient_forcing()
         f = 2.0 * OMEGA * np.sin(grid.yu / RADIAN)
         self.fcor_u = jnp.asarray(
             np.broadcast_to(f[:, None], (jmt, imt)), dtype=cfg.np_dtype)
@@ -139,14 +142,14 @@ class CoupledModel:
 
     # ------------------------------------------------------------------
     def _atm_ice_step_impl(self, atm: AtmState, ice: IceState, sst, frzpt,
-                           uocn, vocn, *, mixing: bool):
+                           uocn, vocn, anthro, *, mixing: bool):
         """One atmosphere step with the ice model inside (embm.F:39-95)."""
         embm = self.embm
         cfg = self.cfg.embm
         dts = cfg.dtatm if mixing else 2.0 * cfg.dtatm
         at_old = atm.at if mixing else atm.atm1
 
-        fl = embm.fluxes(atm, sst, dts=dts)
+        fl = embm.fluxes(atm, sst, dts=dts, anthro=anthro)
 
         # ---- sea ice (ice.F): dynamics, advection, thermodynamics ----
         if self.cfg.ice.enabled:
@@ -293,8 +296,9 @@ class CoupledModel:
         acc = None
         for _ in range(self.ntspas):
             mixing = bool(atm.nats + 1 > self.cfg.embm.namix)
-            atm, ice, a = self._atm_ice_step(atm, ice, sst, frzpt,
-                                             uocn, vocn, mixing=mixing)
+            atm, ice, a = self._atm_ice_step(
+                atm, ice, sst, frzpt, uocn, vocn,
+                jnp.asarray(self.anthro, sst.dtype), mixing=mixing)
             if acc is None:
                 acc = a
             else:
@@ -352,10 +356,19 @@ class CoupledModel:
         return CoupledState(ocean=ocean, atm=atm, ice=ice, land=land,
                             sed=state.sed)
 
+    def set_transient_forcing(self, transient=None):
+        """Enable transient forcing (co2data/solardata/... readers)."""
+        from ..io.forcing import TransientForcing
+        self.transient = transient or TransientForcing.default()
+
     def run(self, state: CoupledState, nseg: int) -> CoupledState:
         seg_days = self.cfg.time.segtim_days
         yrlen = 360.0 if self.cfg.time.eqyear else 365.0
         for _ in range(nseg):
+            if self.transient is not None:
+                f = self.transient.at(self.year0 + self.relyr)
+                self.co2ccn = f["co2ccn"]
+                self.anthro = 5.35e3 * np.log(self.co2ccn / 280.0)
             state = self.run_segment(state)
             self.relyr += seg_days / yrlen
         return state

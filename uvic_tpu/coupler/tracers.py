@@ -47,6 +47,51 @@ def build_registry(bgc: BgcConfig) -> List[Tracer]:
         if bgc.nitrogen:
             tr.append(Tracer("no3", "mmol m-3", 5.0, True, False))
             tr.append(Tracer("diaz", "mmol m-3", 0.014, True, False))
+    if bgc.suite == "mobi":
+        # MOBI 2.x extension (updates/10/source/common/size.h:31-115)
+        if bgc.carbon and bgc.carbon_13:
+            tr.append(Tracer("dic13", "umol cm-3", 2.30 * 0.011, True,
+                             True))
+        if bgc.caco3:
+            tr.append(Tracer("caco3", "mmol m-3", 1e-3, True, False))
+        if bgc.silicon:
+            tr.append(Tracer("diat", "mmol m-3", 0.07, True, False))
+            tr.append(Tracer("sil", "mmol m-3", 30.0, True, False))
+            tr.append(Tracer("opl", "mmol m-3", 1e-3, True, False))
+        if bgc.nitrogen:
+            tr.append(Tracer("dop", "mmol m-3", 0.01, True, False))
+            tr.append(Tracer("don", "mmol m-3", 0.2, True, False))
+        if bgc.iron:
+            tr.append(Tracer("dfe", "umol m-3", 0.6, True, False))
+            tr.append(Tracer("detrfe", "umol m-3", 1e-4, True, False))
+        if bgc.nitrogen and bgc.nitrogen_15:
+            for name, base in (("din15", 5.0), ("phytn15", 0.14),
+                               ("zoopn15", 0.014), ("detrn15", 1e-4),
+                               ("diazn15", 0.014), ("don15", 0.2)):
+                tr.append(Tracer(name, "mmol m-3", base * 0.0036765,
+                                 True, False))
+            if bgc.silicon:
+                tr.append(Tracer("diatn15", "mmol m-3",
+                                 0.07 * 0.0036765, True, False))
+        if bgc.carbon and bgc.carbon_13:
+            for name, base in (("phytc13", 0.14), ("zoopc13", 0.014),
+                               ("detrc13", 1e-4)):
+                tr.append(Tracer(name, "mmol m-3", base * 7 * 0.011,
+                                 True, False))
+            if bgc.caco3:
+                tr.append(Tracer("caco3c13", "mmol m-3", 1e-5, True,
+                                 False))
+            if bgc.silicon:
+                tr.append(Tracer("diatc13", "mmol m-3",
+                                 0.07 * 7 * 0.011, True, False))
+            if bgc.nitrogen:
+                tr.append(Tracer("diazc13", "mmol m-3",
+                                 0.014 * 7 * 0.011, True, False))
+                tr.append(Tracer("doc13", "mmol m-3", 0.2 * 7 * 0.011,
+                                 True, False))
+        if bgc.pa_th:
+            tr.append(Tracer("pa231", "dpm m-3", 1e-3, True, False))
+            tr.append(Tracer("th230", "dpm m-3", 1e-3, True, False))
     return tr
 
 

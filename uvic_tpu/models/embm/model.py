@@ -166,8 +166,10 @@ class EmbmModel:
         return a
 
     # ------------------------------------------------------------------
-    def fluxes(self, state: AtmState, sst, aice=None, dts=54000.0):
-        """Surface/TOA fluxes at tau (fluxes.F:2-278). sst: (jmt, imt)."""
+    def fluxes(self, state: AtmState, sst, aice=None, dts=54000.0,
+               anthro=0.0):
+        """Surface/TOA fluxes at tau (fluxes.F:2-278). sst: (jmt, imt).
+        ``anthro``: CO2 radiative forcing [erg/cm^2/s] (co2forc)."""
         at_sat = state.at[0]
         at_shum = state.at[1]
         telev = self.elev
@@ -187,7 +189,7 @@ class EmbmModel:
             + (b["b01"] + b["b11"] * rh + b["b21"] * rh ** 2) * teff
             + (b["b02"] + b["b12"] * rh + b["b22"] * rh ** 2) * teff ** 2
             + (b["b03"] + b["b13"] * rh + b["b23"] * rh ** 2) * teff ** 3
-        ) - self.anthro
+        ) - anthro
 
         fb = 0.94 * C.RHOATM * C.CPATM
         wspd = self.wspd

@@ -108,6 +108,10 @@ def tracer_step(t_tau, t_tm1, vet, vnt, vbt, stf, btf, source,
         fe, fn, fb = centered_flux(t_tau, vet[None], vnt[None], vbt[None])
     elif scheme == "upstream":
         fe, fn, fb = upstream_flux(t_tm1, vet[None], vnt[None], vbt[None])
+    elif scheme == "quicker":
+        from ...ops.advection import quicker_flux
+        fe, fn, fb = quicker_flux(t_tau, t_tm1, vet[None], vnt[None],
+                                  vbt[None], tmask[None], g.quicker)
     else:
         raise ValueError(scheme)
 

@@ -8,10 +8,11 @@ time; here one jitted function computes the whole domain:
     -> tracer step -> convection -> clinic (momentum) -> barotropic CG
     -> new state
 
-Leapfrog vs forward-mixing timesteps (mom.F:96-148) are separate traced
-variants selected by the host-side step schedule (cadence is static).
-Euler-backward mixing (eb=.true.) is not yet implemented; the reference
-default is forward mixing (run/control.in: eb=.false.).
+Leapfrog vs forward-mixing timesteps (mom.F:96-148) are either separate
+traced variants selected by the host-side schedule, or a single trace
+with data-dependent selection (the `run_scan` multi-step driver).
+Euler-backward mixing (eb=.true.) runs as the two-pass
+predictor/corrector of mom.F:424-446.
 """
 
 from __future__ import annotations
@@ -103,6 +104,11 @@ class OceanModel:
         bag.am = cfg.ocean.am
         bag.hr = jn(topo.hr)
         bag.grav_rho0r = GRAV * RHO0R
+        if cfg.ocean.tracer_advection == "quicker":
+            from ...ops.advection import quicker_coefficients
+            qc = quicker_coefficients(g)
+            bag.quicker = {ax: {k: jn(v) for k, v in d.items()}
+                           for ax, d in qc.items()}
         self.g = bag
 
         self.tmask = jn(topo.tmask)
@@ -123,8 +129,10 @@ class OceanModel:
             ocean_mask=jn((topo.land_map <= 0).astype(np.float64)),
         )
 
-        # 5-point barotropic operator at unit timestep
-        cf_unit, cf_acor = sfc5pt_unit(
+        # 5- or 9-point barotropic operator at unit timestep
+        from .tropic import sfc9pt_unit
+        _sfc = sfc9pt_unit if cfg.ocean.sf_npt == 9 else sfc5pt_unit
+        cf_unit, cf_acor = _sfc(
             np.asarray(g.dxu), np.asarray(g.dyu), np.asarray(g.csu),
             np.asarray(topo.hr),
             f=np.asarray(params.cori[0]), acor=cfg.ocean.acor)
@@ -162,11 +170,15 @@ class OceanModel:
                 nitrogen=cfg.bgc.nitrogen, o2=cfg.bgc.o2,
                 carbon=cfg.bgc.carbon, alk=cfg.bgc.alk)
             self._npzd_params = nz_params
+            if cfg.bgc.suite == "mobi":
+                from ...models.bgc.mobi import Mobi as _BgcCls
+            else:
+                _BgcCls = Npzd
             self.npzd = {
-                True: Npzd(nz_params, g, self.tracer_index,
-                           2 * cfg.ocean.dtts, dt),
-                False: Npzd(nz_params, g, self.tracer_index,
-                            cfg.ocean.dtts, dt),
+                True: _BgcCls(nz_params, g, self.tracer_index,
+                              2 * cfg.ocean.dtts, dt),
+                False: _BgcCls(nz_params, g, self.tracer_index,
+                               cfg.ocean.dtts, dt),
             }
             self.tlat_rad = jn(np.deg2rad(
                 np.broadcast_to(g.yt[:, None], (g.jmt, g.imt))))
@@ -382,7 +394,7 @@ class OceanModel:
             g.dxu, g.dyu, g.csu, c2dtsf, cfg.tolrsf, cfg.mxscan,
             leapfrog, self.cyclic, filt=sf_filt,
             euler2=(eb_pass == 2), save_ptd=(eb_pass != 1),
-            solver=self.cg_solver)
+            solver=self.cg_solver, npt=cfg.sf_npt)
 
         return OceanState(
             tm1=t_tau, t=t_new,

@@ -39,6 +39,43 @@ def sfforc(zu, dxu, dyu, csu):
     return forc
 
 
+def sfc9pt_unit(dxu, dyu, csu, hr, f=None, acor=0.0):
+    """9-point operator coefficients at c2dtsf=1 (sfc9pt,
+    tropic.F:560-717): the exact discrete curl-of-response operator
+    (no corner lumping — the identity A = curl o ext holds)."""
+    jmt, imt = hr.shape
+    ustuff = (dxu[None, :] * csu[:, None]) * hr / dyu[:, None]
+    vstuff = dyu[:, None] * hr / (dxu[None, :] * csu[:, None])
+
+    def shifted(a, i2, j2):
+        out = np.zeros_like(a)
+        out[1:jmt - 1, 1:imt - 1] = a[1 + j2:jmt - 1 + j2,
+                                      1 + i2:imt - 1 + i2]
+        return out
+
+    cf = np.zeros((3, 3, jmt, imt))
+    for (i1, j1), cyu in _CDDYU.items():
+        cxu = _CDDXU[(i1, j1)]
+        for (i2, j2), cyt in _CDDYT.items():
+            cxt = _CDDXT[(i2, j2)]
+            cf[j1 + j2 + 1, i1 + i2 + 1] += (
+                cyu * cyt * shifted(ustuff, i2, j2)
+                + cxu * cxt * shifted(vstuff, i2, j2))
+
+    cf_acor = np.zeros_like(cf)
+    if acor != 0.0:
+        ustuff_a = acor * hr * (-f)
+        vstuff_a = acor * hr * (+f)
+        for (i1, j1), cxu in _CDDXU.items():
+            cyu = _CDDYU[(i1, j1)]
+            for (i2, j2), cyt in _CDDYT.items():
+                cxt = _CDDXT[(i2, j2)]
+                cf_acor[j1 + j2 + 1, i1 + i2 + 1] -= (
+                    cxu * cyt * shifted(ustuff_a, i2, j2)
+                    + cyu * cxt * shifted(vstuff_a, i2, j2))
+    return cf, cf_acor
+
+
 def sfc5pt_unit(dxu, dyu, csu, hr, f=None, acor=0.0):
     """5-point operator coefficients at c2dtsf=1 (tropic.F:397-557).
 
@@ -84,7 +121,7 @@ def sfc5pt_unit(dxu, dyu, csu, hr, f=None, acor=0.0):
 def tropic_step(zu, psi0, psi1, ptd_hist, ptdb_hist, cf_unit, cf_acor,
                 isl: IslandIndex, dxu, dyu, csu, c2dtsf, tolrsf, mxscan,
                 leapfrog: bool, cyclic=True, filt=None, euler2=False,
-                save_ptd=True, solver=None):
+                save_ptd=True, solver=None, npt=5):
     """Solve for the change in streamfunction and update the two psi time
     levels (tropic.F:127-293).
 
@@ -98,13 +135,32 @@ def tropic_step(zu, psi0, psi1, ptd_hist, ptdb_hist, cf_unit, cf_acor,
         from ...ops.filters import fir_filter
         mask, npass_j = filt
         forc = fir_filter(forc, mask, npass_j, "symmetric", cyclic)
+    if npt == 9:
+        # the 9-point operator annihilates the checkerboard mode as well
+        # as constants (diagonal-difference construction): deflate the
+        # forcing, guess, and solution so nothing drifts along it
+        jmt, imt = forc.shape
+        jj = jnp.arange(jmt)[:, None]
+        ii = jnp.arange(imt)[None, :]
+        cb = ((-1.0) ** (jj + ii)).astype(forc.dtype)
+        w = cb.at[0, :].set(0.0).at[-1, :].set(0.0) \
+            .at[:, 0].set(0.0).at[:, -1].set(0.0)
+        ww = jnp.sum(w * w)
+
+        def deflate(x):
+            return x - (jnp.sum(x * w) / ww) * w
+
+        forc = deflate(forc)
+    else:
+        def deflate(x):
+            return x
 
     # initial guess extrapolated from the last two solutions
     if isinstance(leapfrog, bool):
         fxa = 1.0 if leapfrog else 0.5
     else:
         fxa = jnp.where(leapfrog, 1.0, 0.5).astype(zu.dtype)
-    guess = fxa * (2.0 * ptd_hist - ptdb_hist)
+    guess = deflate(fxa * (2.0 * ptd_hist - ptdb_hist))
     if cyclic:
         guess = guess.at[:, 0].set(guess[:, -2]).at[:, -1].set(guess[:, 1])
 
@@ -117,6 +173,8 @@ def tropic_step(zu, psi0, psi1, ptd_hist, ptdb_hist, cf_unit, cf_acor,
         cf = cf_unit / c2dtsf + cf_acor
         ptd, iters, est, converged = congrad(
             cf, guess, forc, isl, tolrsf, mxscan, cyclic)
+
+    ptd = deflate(ptd)
 
     # normalize psi to zero on the main land mass (tropic.F:233-237)
     if isl.nisle > 0 and isl.imain >= 0:

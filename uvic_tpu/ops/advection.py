@@ -22,6 +22,7 @@ low-order solution plus direction-split limited antidiffusive fluxes.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..constants import EPSLN
 from .stencil import DN, E, N, S, UP, W, setbcx
@@ -43,6 +44,81 @@ def upstream_flux(t, vet, vnt, vbt):
     fe = vet * (t + E(t)) + jnp.abs(vet) * (t - E(t))
     fn = vnt * (t + N(t)) + jnp.abs(vnt) * (t - N(t))
     fb = vbt * (DN(t) + t) + jnp.abs(vbt) * (DN(t) - t)
+    fb = fb.at[..., -1, :, :].set(0.0)
+    return fe, fn, fb
+
+
+def quicker_coefficients(grid):
+    """Interpolation/curvature weights for the 3rd-order QUICKER scheme
+    (grids.F:568-643). Host-side NumPy; returns a dict of arrays."""
+    def axis_coeffs(d, cyclic_axis):
+        n = len(d)
+        ip2 = np.minimum(np.arange(n) + 2, n - 1)
+        if cyclic_axis:
+            ip2 = np.where(np.arange(n) >= n - 2, 2, np.arange(n) + 2)
+            ip2 = np.minimum(ip2, n - 1)
+        ip1 = np.minimum(np.arange(n) + 1, n - 1)
+        im1 = np.maximum(np.arange(n) - 1, 0)
+        dp1 = d[ip1]
+        dp2 = d[ip2]
+        dm1 = d[im1]
+        quick1 = 2.0 * dp1 / (dp1 + d)
+        quick2 = 2.0 * d / (dp1 + d)
+        cxp1 = 2.0 * d * dp1 / ((dm1 + 2 * d + dp1) * (d + dp1))
+        cxp2 = -2.0 * d * dp1 / ((d + dp1) * (dm1 + d))
+        cxp3 = 2.0 * d * dp1 / ((dm1 + 2 * d + dp1) * (dm1 + d))
+        cxn1 = 2.0 * d * dp1 / ((d + 2 * dp1 + dp2) * (dp1 + dp2))
+        cxn2 = -2.0 * d * dp1 / ((dp1 + dp2) * (d + dp1))
+        cxn3 = 2.0 * d * dp1 / ((d + 2 * dp1 + dp2) * (d + dp1))
+        return dict(q1=quick1, q2=quick2,
+                    p1=cxp1, p2=cxp2, p3=cxp3,
+                    n1=cxn1, n2=cxn2, n3=cxn3)
+
+    return dict(x=axis_coeffs(np.asarray(grid.dxt), grid.cyclic),
+                y=axis_coeffs(np.asarray(grid.dyt), False),
+                z=axis_coeffs(np.asarray(grid.dzt), False))
+
+
+def quicker_flux(t_tau, t_lag, vet, vnt, vbt, tmask, qc):
+    """QUICKER 3rd-order advective fluxes (tracer_adv_flx.F:54-249).
+
+    qc: coefficient dict from quicker_coefficients, arrays as jnp
+    broadcastable (x coeffs (imt,), y (jmt,1), z (km,1,1)).
+    """
+    def cx(name):
+        return qc["x"][name][None, None, None, :]
+
+    def cy(name):
+        return qc["y"][name][None, None, :, None]
+
+    def cz(name):
+        return qc["z"][name][None, :, None, None]
+
+    # east face
+    upos = 0.5 * (vet + jnp.abs(vet)) * W(tmask) * tmask * E(tmask)
+    uneg = 0.5 * (vet - jnp.abs(vet)) * E(E(tmask)) * E(tmask) * tmask
+    fe = (vet * (cx("q1") * t_tau + cx("q2") * E(t_tau))
+          - upos * (cx("p1") * E(t_lag) + cx("p2") * t_lag
+                    + cx("p3") * W(t_lag))
+          - uneg * (cx("n1") * E(E(t_lag)) + cx("n2") * E(t_lag)
+                    + cx("n3") * t_lag))
+    # north face
+    vpos = 0.5 * (vnt + jnp.abs(vnt)) * S(tmask) * tmask * N(tmask)
+    vneg = 0.5 * (vnt - jnp.abs(vnt)) * N(N(tmask)) * N(tmask) * tmask
+    fn = (vnt * (cy("q1") * t_tau + cy("q2") * N(t_tau))
+          - vpos * (cy("p1") * N(t_lag) + cy("p2") * t_lag
+                    + cy("p3") * S(t_lag))
+          - vneg * (cy("n1") * N(N(t_lag)) + cy("n2") * N(t_lag)
+                    + cy("n3") * t_lag))
+    # bottom face: note the reversed pos/neg-curvature pairing
+    # (tracer_adv_flx.F:200-214; k increases downward)
+    wpos = 0.5 * (vbt + jnp.abs(vbt)) * DN(DN(tmask)) * DN(tmask) * tmask
+    wneg = 0.5 * (vbt - jnp.abs(vbt)) * UP(tmask) * tmask * DN(tmask)
+    fb = (vbt * (cz("q1") * t_tau + cz("q2") * DN(t_tau))
+          - wneg * (cz("p1") * DN(t_lag) + cz("p2") * t_lag
+                    + cz("p3") * UP(t_lag))
+          - wpos * (cz("n1") * DN(DN(t_lag)) + cz("n2") * DN(t_lag)
+                    + cz("n3") * t_lag))
     fb = fb.at[..., -1, :, :].set(0.0)
     return fe, fn, fb
 

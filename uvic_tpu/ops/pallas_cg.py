@@ -67,16 +67,22 @@ def make_pallas_congrad(cf, z_pre, isl_onehot, isl_counts, interior,
             out = pltpu.roll(out, (-dj) % jp, axis=0)
         return out
 
-    def border(ref_val):
-        """cyclic wrap of the duplicated columns + zero boundary rows."""
-        v = ref_val
-        v = v.at[0, :].set(0.0).at[jmt - 1, :].set(0.0)
+    def border(v):
+        """cyclic wrap of the duplicated columns + zero boundary rows.
+        In-kernel iota masks + roll-selects (Mosaic has no scatter and
+        no captured array constants)."""
+        rows = jax.lax.broadcasted_iota(jnp.int32, (jp, ip), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (jp, ip), 1)
+        v = jnp.where((rows == 0) | (rows >= jmt - 1), 0.0, v)
         if cyclic:
-            v = v.at[:, 0].set(v[:, imt - 2])
-            v = v.at[:, imt - 1].set(v[:, 1])
+            # col 0 <- col imt-2 ; col imt-1 <- col 1
+            vL = pltpu.roll(v, (0 - (imt - 2)) % ip, axis=1)
+            vR = pltpu.roll(v, (imt - 2) % ip, axis=1)
+            v = jnp.where(cols == 0, vL, v)
+            v = jnp.where(cols == imt - 1, vR, v)
         else:
-            v = v.at[:, 0].set(0.0).at[:, imt - 1].set(0.0)
-        return v
+            v = jnp.where((cols == 0) | (cols == imt - 1), 0.0, v)
+        return jnp.where(cols >= imt, 0.0, v)
 
     def kernel(cf_ref, z_ref, oh_ref, int_ref, pm_ref, rc_ref,
                guess_ref, forc_ref, scal_ref,
@@ -96,18 +102,24 @@ def make_pallas_congrad(cf, z_pre, isl_onehot, isl_counts, interior,
                     i9 += 1
             return acc * intm * (1.0 / c2dtsf)
 
+        # islands: static unrolled loop of scalar reductions (vector-
+        # shaped reduces crash the Mosaic compiler)
         def island_sum_dist(x):
             if nisle == 0:
                 return x
-            sums = jnp.sum(oh_ref[:] * x[None], axis=(1, 2))
-            rep = jnp.sum(oh_ref[:] * sums[:, None, None], axis=0)
+            rep = jnp.zeros_like(x)
+            for k in range(nisle):
+                s_k = jnp.sum(oh_ref[k] * x)
+                rep = rep + oh_ref[k] * s_k
             return jnp.where(pm > 0, rep, x)
 
         def island_avg_dist(x):
             if nisle == 0:
                 return x
-            sums = jnp.sum(oh_ref[:] * x[None], axis=(1, 2)) * rc_ref[:]
-            rep = jnp.sum(oh_ref[:] * sums[:, None, None], axis=0)
+            rep = jnp.zeros_like(x)
+            for k in range(nisle):
+                s_k = jnp.sum(oh_ref[k] * x) * rc_ref[k]
+                rep = rep + oh_ref[k] * s_k
             return jnp.where(pm > 0, rep, x)
 
         def dot2(a, b):
@@ -116,50 +128,53 @@ def make_pallas_congrad(cf, z_pre, isl_onehot, isl_counts, interior,
         def inv_op(r):
             return border(island_sum_dist(zmat * r))
 
-        dpsi0 = border(guess_ref[:])
-        res0 = border((forc_ref[:] - apply_op(dpsi0)) * intm)
-        zres0 = inv_op(res0)
+        # work arrays live in VMEM scratch refs; the loop carries scalars
+        # only (ref-mutation is the idiomatic Mosaic stateful loop)
+        dpsi_out[:] = border(guess_ref[:])
+        res_ref[:] = border((forc_ref[:] - apply_op(dpsi_out[:])) * intm)
+        s_ref[:] = jnp.zeros_like(res_ref[:])
+        zres0 = inv_op(res_ref[:])
         trivially_done = 100.0 * jnp.max(jnp.abs(zres0)) < tol
+        dtype = zres0.dtype
 
-        def cond(st):
-            return (~st[6]) & (st[5] < max_iter)
-
-        def body(st):
-            dpsi, res, s, betakm1, (step1, est), k, done = \
-                st[0], st[1], st[2], st[3], st[4], st[5], st[6]
-            k = k + 1
-            zres = inv_op(res)
-            betak = dot2(zres, res)
-            s = zres + (betak / betakm1) * s
-            a_s = border(apply_op(s))
-            s_dot_as = dot2(s, a_s)
+        def body(i, st):
+            betakm1, step1, est, iters, done = st
+            live = jnp.where(done, 0.0, 1.0).astype(dtype)
+            zres = inv_op(res_ref[:])
+            betak = dot2(zres, res_ref[:])
+            s_ref[:] = zres + (betak / betakm1) * s_ref[:]
+            as_ref[:] = border(apply_op(s_ref[:]))
+            s_dot_as = dot2(s_ref[:], as_ref[:])
             safe = jnp.abs(s_dot_as) > jnp.abs(betak) * 1e-10
             alpha = jnp.where(safe,
-                              betak / jnp.where(safe, s_dot_as, 1.0), 0.0)
-            dpsi = dpsi + alpha * s
-            res = border(island_avg_dist(res - alpha * a_s))
-            step = jnp.abs(alpha) * jnp.max(jnp.abs(s))
-            step1 = jnp.where(k == 1, step, step1)
+                              betak / jnp.where(safe, s_dot_as, 1.0),
+                              0.0) * live
+            dpsi_out[:] = dpsi_out[:] + alpha * s_ref[:]
+            res_ref[:] = border(island_avg_dist(
+                res_ref[:] - alpha * as_ref[:]))
+            k = iters + jnp.where(done, 0, 1)
+            step = jnp.abs(alpha) * jnp.max(jnp.abs(s_ref[:]))
+            step1 = jnp.where(done, step1, jnp.where(k == 1, step, step1))
             small = step < tol
             rate = jnp.where(
                 (k > 1) & small,
                 jnp.exp(jnp.log(jnp.maximum(step / step1, 1e-30))
                         / jnp.maximum(k - 1, 1)), 0.0)
-            est = jnp.where(k == 1, step,
-                            jnp.where(small, step * rate / (1.0 - rate),
-                                      est))
-            done = jnp.where(k == 1, step < tol, small & (est < tol))
-            done = done | ~safe
-            return (dpsi, res, s, betak, (step1, est), k, done)
+            est_new = jnp.where(k == 1, step,
+                                jnp.where(small,
+                                          step * rate / (1.0 - rate), est))
+            est = jnp.where(done, est, est_new)
+            newly_done = jnp.where(k == 1, step < tol, small & (est < tol))
+            done = done | newly_done | ~safe
+            betakm1 = jnp.where(done, betakm1, betak)
+            return (betakm1, step1, est, k, done)
 
-        one = jnp.asarray(1.0, dpsi0.dtype)
-        st = jax.lax.while_loop(
-            cond, body,
-            (dpsi0, res0, jnp.zeros_like(dpsi0), one,
-             (jnp.asarray(0.0, dpsi0.dtype), jnp.asarray(0.0, dpsi0.dtype)),
-             jnp.asarray(0, jnp.int32), trivially_done))
-        dpsi_out[:] = st[0]
-        iters_out[0] = st[5]
+        st = jax.lax.fori_loop(
+            0, max_iter, body,
+            (jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype),
+             jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32),
+             trivially_done))
+        iters_out[0] = st[3]
 
     @jax.jit
     def solve(guess, forc, c2dtsf, tol):
