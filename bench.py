@@ -25,6 +25,23 @@ import numpy as np
 BASELINE_FORTRAN_GPS = 1.0e7  # derived estimate, see module docstring
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the fused Pallas CG costs
+    ~150 s to compile via the TPU tunnel; cache it across processes."""
+    import os
+
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
+
 def _time_config(nsteps, dtype, mobi=False):
     import jax
     import __graft_entry__ as ge
@@ -43,6 +60,8 @@ def _time_config(nsteps, dtype, mobi=False):
 
 def main(nsteps=20, dtype="float32"):
     import jax
+
+    _enable_compile_cache()
 
     m, gps, dt_wall = _time_config(nsteps, dtype, mobi=False)
     myd = m.cfg.ocean.dtts / dt_wall / 365.0

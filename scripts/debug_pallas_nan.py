@@ -7,14 +7,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+print("importing entry...", flush=True)
 import __graft_entry__ as ge
 
+print("building flagship...", flush=True)
 m, state, forcing = ge._flagship(small=False, dtype="float32", mobi=False)
 print("pallas solver active:", m.cg_solver is not None, flush=True)
 
 # step with pallas (default) and with pallas disabled, per-step compare
 m_nop, state2, _ = ge._flagship(small=False, dtype="float32", mobi=False)
 m_nop.cg_solver = None
+print("both models built", flush=True)
 
 for k in range(8):
     state = m.step(state, forcing, leapfrog=(k > 0))

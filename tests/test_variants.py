@@ -57,6 +57,18 @@ def test_sfc9pt_operator():
     assert 1e10 < float(jnp.abs(s.psi0).max()) < 1e14
 
 
+@pytest.mark.parametrize("scheme,kw", [
+    ("smagnl", {}),
+    ("biharmonic", {"ambi": 1.0e21, "ahbi": 5.0e20}),
+])
+def test_hmix_variants_stable(scheme, kw):
+    m, s, f = _setup(hmix=scheme, **kw)
+    s = m.run(s, f, 20)
+    assert not bool(jnp.isnan(s.t).any())
+    assert float(jnp.abs(s.t[0]).max()) < 50.0
+    assert float(jnp.abs(s.u).max()) < 500.0
+
+
 def test_ppmix_scheme():
     m, s, f = _setup(vmix="ppmix", aidif=0.0)
     s = m.run(s, f, 10)
@@ -90,6 +102,47 @@ def test_mobi_suite_runs():
                      jnp.zeros((m.nt, g.jmt, g.imt)))
     s = m.run(s, f, 5)
     assert not bool(jnp.isnan(s.t).any())
+
+
+def test_cfc_fluxes():
+    import jax.numpy as jnp
+    from uvic_tpu.config import BgcConfig
+    from uvic_tpu.coupler.tracers import TracerIndex, build_registry
+    from uvic_tpu.io.forcing import cfc_series
+    from uvic_tpu.models.bgc.gasx import (cfc_saturation,
+                                          hemispheric_blend,
+                                          surface_gas_fluxes)
+
+    idx = TracerIndex(build_registry(BgcConfig(cfc=True)))
+    assert "cfc11" in idx and "cfc12" in idx
+
+    # Warner & Weiss solubility sanity: ~0.0063 mol/l/atm at 10C, 35 psu
+    sat = cfc_saturation(jnp.asarray(10.0), jnp.asarray(35.0),
+                         260.0, 11)     # mol/m^3 at 260 pptv
+    assert 1e-9 < float(sat) < 5e-9
+
+    # atmospheric history rises to the early-90s plateau then declines
+    s11 = cfc_series(11, "n")
+    assert s11.at(1950.0) < 5.0
+    assert 250.0 < s11.at(1993.0) < 275.0
+    assert s11.at(2008.0) < s11.at(1994.0)
+
+    jmt, imt = 8, 10
+    sst = jnp.full((jmt, imt), 15.0)
+    sss = jnp.full((jmt, imt), 35.0)
+    wspd = jnp.full((jmt, imt), 800.0)   # cm/s
+    ao = jnp.ones((jmt, imt))
+    lat = jnp.broadcast_to(jnp.linspace(-80, 80, jmt)[:, None],
+                           (jmt, imt))
+    surf = jnp.zeros((idx.nt, jmt, imt))
+    cfc_atm = (hemispheric_blend(lat, 270.0, 250.0),
+               hemispheric_blend(lat, 540.0, 520.0))
+    flux, _ = surface_gas_fluxes(sst, sss, wspd, ao, surf, idx,
+                                 cfc_atm=cfc_atm)
+    f11 = flux[idx["cfc11"]]
+    assert float(f11.min()) > 0.0        # invasion into a cfc-free ocean
+    # northern boxes see higher atmospheric loading
+    assert float(f11[-1, 0]) > float(f11[0, 0])
 
 
 def test_transient_forcing():

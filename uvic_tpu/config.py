@@ -129,6 +129,9 @@ class OceanConfig:
     barotropic: str = BarotropicMode.STREAM_FUNCTION
     vmix: str = VerticalMixing.CONST
     hmix: str = HorizontalMixing.CONST
+    ambi: float = 1.0e23                       # biharmonic viscosity [cm^4/s]
+    ahbi: float = 5.0e22                       # biharmonic diffusivity [cm^4/s]
+    smag_diff_back: float = 0.0                # background diff under smagnl
     convection: str = Convection.FULL
     isopycmix: bool = True                     # O_isopycmix (Redi)
     gent_mcwilliams: bool = True               # O_gent_mcwilliams
@@ -192,6 +195,7 @@ class BgcConfig:
     iron: bool = False                         # O_mobi_iron
     caco3: bool = False                        # O_mobi_caco3
     pa_th: bool = False                        # O_PaTh scavenging tracers
+    cfc: bool = False                          # O_cfcs_data_transient
     dtnpzd: float = 27000.0                    # bgc source substep [s]
 
 
@@ -201,7 +205,7 @@ def mobi_full() -> "BgcConfig":
     return BgcConfig(suite="mobi", carbon=True, carbon_13=True,
                      carbon_14=True, alk=True, o2=True, nitrogen=True,
                      nitrogen_15=True, silicon=True, iron=True,
-                     caco3=True, pa_th=True)
+                     caco3=True, pa_th=True, cfc=True)
 
 
 # ---------------------------------------------------------------------------

@@ -74,6 +74,10 @@ class CoupledModel:
         self.area2d = jnp.asarray(area, dtype=cfg.np_dtype)
         self.co2ccn = 280.0     # atmospheric CO2 [ppmv] (co2ccn)
         self.anthro = 0.0       # CO2 radiative forcing (co2forc)
+        self.cfcccn = None      # (cfc11 N,S, cfc12 N,S) [pptv]
+        self.tlat_deg = jnp.asarray(
+            np.broadcast_to(grid.yt[:, None],
+                            (grid.jmt, grid.imt)), dtype=cfg.np_dtype)
         self.relyr = 0.0        # fractional year, advanced by run()
         self.year0 = cfg.time.year0
         self.transient = None   # set via set_transient_forcing()
@@ -266,9 +270,15 @@ class CoupledModel:
             from ..models.bgc.gasx import surface_gas_fluxes
             surf = state.ocean.t[:, 0]
             ao = (1.0 - state.ice.aice) * tmsk
+            cfc_atm = None
+            if self.cfcccn is not None and "cfc11" in idx:
+                from ..models.bgc.gasx import hemispheric_blend
+                c11n, c11s, c12n, c12s = self.cfcccn
+                cfc_atm = (hemispheric_blend(self.tlat_deg, c11n, c11s),
+                           hemispheric_blend(self.tlat_deg, c12n, c12s))
             gflux, _ = surface_gas_fluxes(
                 sst, sss, self.embm.wspd, ao, surf, idx,
-                co2ccn=self.co2ccn)
+                co2ccn=self.co2ccn, cfc_atm=cfc_atm)
             # normalized virtual fluxes (gosbc.F:312-364): every bgc
             # tracer follows the salt flux anomaly scaled by its global
             # average surface concentration
@@ -369,6 +379,9 @@ class CoupledModel:
                 f = self.transient.at(self.year0 + self.relyr)
                 self.co2ccn = f["co2ccn"]
                 self.anthro = 5.35e3 * np.log(self.co2ccn / 280.0)
+                if "cfc11ccnn" in f:
+                    self.cfcccn = (f["cfc11ccnn"], f["cfc11ccns"],
+                                   f["cfc12ccnn"], f["cfc12ccns"])
             state = self.run_segment(state)
             self.relyr += seg_days / yrlen
         return state

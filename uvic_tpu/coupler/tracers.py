@@ -92,6 +92,11 @@ def build_registry(bgc: BgcConfig) -> List[Tracer]:
         if bgc.pa_th:
             tr.append(Tracer("pa231", "dpm m-3", 1e-3, True, False))
             tr.append(Tracer("th230", "dpm m-3", 1e-3, True, False))
+    if bgc.cfc:
+        # O_cfcs_data_transient (gasbc.F:414-467): purely passive,
+        # forced by the hemispheric atmospheric history
+        tr.append(Tracer("cfc11", "mol m-3", 0.0, True, True))
+        tr.append(Tracer("cfc12", "mol m-3", 0.0, True, True))
     return tr
 
 
@@ -115,3 +120,6 @@ class TracerIndex:
 
     def __contains__(self, name):
         return name in self.names
+
+    def __getitem__(self, name):
+        return self.names.index(name)

@@ -83,6 +83,32 @@ def c14_series(path=None) -> TransientSeries:
     return TransientSeries.constant(0.0)
 
 
+_CFC_YEARS = np.array([1930, 1940, 1950, 1955, 1960, 1965, 1970, 1975,
+                       1980, 1985, 1990, 1994, 1998, 2002, 2006, 2010],
+                      dtype=float)
+# northern-hemisphere dry mole fractions [pptv]; decadal anchor points
+# of the Walker/Weiss/Salameh reconstruction used by cfcdata.F (the
+# reference's data file is not shipped; values are the published curve)
+_CFC11_NH = np.array([0.0, 0.1, 1.0, 3.3, 9.5, 23.0, 52.8, 106.1,
+                      161.9, 203.7, 255.3, 268.0, 266.4, 260.5, 251.3,
+                      240.9])
+_CFC12_NH = np.array([0.0, 0.4, 4.3, 11.2, 29.5, 58.8, 114.3, 203.1,
+                      297.1, 376.3, 481.7, 516.3, 533.8, 540.7, 537.8,
+                      531.6])
+
+
+def cfc_series(which: int = 11, hemisphere: str = "n",
+               path=None) -> TransientSeries:
+    """Atmospheric CFC-11/12 [pptv] vs year by hemisphere (cfcdata.F).
+    The southern hemisphere lags the northern source regions by ~1.5
+    years along the rising limb."""
+    if path:
+        return TransientSeries.from_csv(path)
+    vals = _CFC11_NH if which == 11 else _CFC12_NH
+    years = _CFC_YEARS if hemisphere == "n" else _CFC_YEARS + 1.5
+    return TransientSeries(years, vals)
+
+
 @dataclass
 class TransientForcing:
     """The forcing bundle evaluated each segment (gasbc.F data calls)."""
@@ -90,15 +116,28 @@ class TransientForcing:
     solar: TransientSeries
     volcanic: TransientSeries
     c14: TransientSeries
+    cfc11_n: TransientSeries = None
+    cfc11_s: TransientSeries = None
+    cfc12_n: TransientSeries = None
+    cfc12_s: TransientSeries = None
 
     @classmethod
     def default(cls):
         return cls(co2=co2_series(), solar=solar_series(),
-                   volcanic=volcanic_series(), c14=c14_series())
+                   volcanic=volcanic_series(), c14=c14_series(),
+                   cfc11_n=cfc_series(11, "n"), cfc11_s=cfc_series(11, "s"),
+                   cfc12_n=cfc_series(12, "n"), cfc12_s=cfc_series(12, "s"))
 
     def at(self, year: float) -> dict:
-        return dict(
+        out = dict(
             co2ccn=self.co2.at(year),
             solarconst=self.solar.at(year) - self.volcanic.at(year),
             dc14ccn=self.c14.at(year),
         )
+        if self.cfc11_n is not None:
+            out.update(
+                cfc11ccnn=self.cfc11_n.at(year),
+                cfc11ccns=self.cfc11_s.at(year),
+                cfc12ccnn=self.cfc12_n.at(year),
+                cfc12ccns=self.cfc12_s.at(year))
+        return out

@@ -170,6 +170,43 @@ def schmidt_o2(t):
     return 1638.0 - 81.83 * t + 1.483 * t ** 2 - 0.008004 * t ** 3
 
 
+def schmidt_cfc11(t):
+    """CFC-11 Schmidt number, Zheng et al. 1998 (gasbc.F:428)."""
+    return 3501.8 + t * (-210.31 + t * (6.1851 + t * (-0.07513)))
+
+
+def schmidt_cfc12(t):
+    """CFC-12 Schmidt number (gasbc.F:456)."""
+    return 3845.4 + t * (-228.95 + t * (6.1908 + t * (-0.067430)))
+
+
+def cfc_solubility(t, s, which: int):
+    """Warner & Weiss (1985) CFC solubility in mol/(l atm)
+    (gasbc.F:432-436, 460-464).  t in deg C, s in psu."""
+    f1 = (t + 273.16) * 0.01
+    if which == 11:
+        d = (0.091459 - 0.0157274 * f1) * f1 - 0.142382
+        return jnp.exp(-229.9261 + 319.6552 / f1
+                       + 119.4471 * jnp.log(f1)
+                       - 1.39165 * f1 * f1 + s * d)
+    d = (0.091015 - 0.0153924 * f1) * f1 - 0.143566
+    return jnp.exp(-218.0971 + 298.9702 / f1 + 113.8049 * jnp.log(f1)
+                   - 1.39165 * f1 * f1 + s * d)
+
+
+def cfc_saturation(t, s, ccn_pptv, which: int):
+    """Surface saturation concentration in mol/m^3 for an atmospheric
+    dry mole fraction in pptv (gasbc.F:439-440)."""
+    return 1.0e-12 * 1000.0 * cfc_solubility(t, s, which) * ccn_pptv
+
+
+def hemispheric_blend(tlat_deg, north, south):
+    """Hemispheric atmospheric values blended linearly across +-10 deg
+    latitude (gasbc.F:419-426)."""
+    wt = jnp.clip((tlat_deg + 10.0) / 20.0, 0.0, 1.0)
+    return north * wt + south * (1.0 - wt)
+
+
 def piston_velocity(wspd_cms, schmidt, open_water):
     """Wanninkhof (1992) piston velocity [cm/s] (gasbc.F:360-363)."""
     return open_water * XCONV * (wspd_cms * 0.01) ** 2 \
@@ -177,8 +214,12 @@ def piston_velocity(wspd_cms, schmidt, open_water):
 
 
 def surface_gas_fluxes(sst, sss, wspd, open_water, surf_tracers, idx,
-                       co2ccn=280.0, alk_default=None):
-    """Gas-exchange surface fluxes for dic/o2 (gasbc.F:330-415).
+                       co2ccn=280.0, alk_default=None, cfc_atm=None):
+    """Gas-exchange surface fluxes for dic/o2/cfc11/cfc12
+    (gasbc.F:330-467).
+
+    cfc_atm : None or (cfc11ccn, cfc12ccn) 2-D pptv fields (already
+    hemispherically blended; see hemispheric_blend).
 
     surf_tracers: (nt, jmt, imt) surface tracer fields (segment means).
     Returns (nt, jmt, imt) flux array [tracer-units cm/s], positive into
@@ -204,4 +245,12 @@ def surface_gas_fluxes(sst, sss, wspd, open_water, surf_tracers, idx,
         pv = piston_velocity(wspd, schmidt_o2(sst_c), open_water)
         o2sat = o2_saturation(sst_c, sss_c)  # mol/m^3 == umol/cm^3
         flux = flux.at[idx.io2].set(pv * (o2sat - o2))
+    if cfc_atm is not None and "cfc11" in idx:
+        for which, name, sc_fn, ccn in (
+                (11, "cfc11", schmidt_cfc11, cfc_atm[0]),
+                (12, "cfc12", schmidt_cfc12, cfc_atm[1])):
+            k = idx[name]
+            pv = piston_velocity(wspd, sc_fn(sst_c), open_water)
+            sat = cfc_saturation(sst_c, sss_c, ccn, which)
+            flux = flux.at[k].set(pv * (sat - surf_tracers[k]))
     return flux, diags

@@ -79,7 +79,7 @@ def adv_vel(u, v, g, cyclic=True):
 
 def tracer_step(t_tau, t_tm1, vet, vnt, vbt, stf, btf, source,
                 diff_cbt, kmt, tmask, g, c2dtts, scheme: str,
-                aidif: float, cyclic=True, iso=None):
+                aidif: float, cyclic=True, iso=None, hmix=None):
     """One tracer timestep for all tracers (tracer.F:678-916).
 
     t_tau/t_tm1 : (nt, km, jmt, imt)
@@ -89,6 +89,8 @@ def tracer_step(t_tau, t_tm1, vet, vnt, vbt, stf, btf, source,
     diff_cbt    : (km, jmt, imt) vertical diffusivity at cell bottoms
                   (with the K33 isopycnal addition folded in by the caller)
     iso         : IsopycFields for Redi flux additions, or None
+    hmix        : None (const ah) | ("smagnl", diff_cet, diff_cnt)
+                  | ("biharmonic", ahbi) — variable horizontal mixing
     returns t at tau+1 (before convection/filtering).
     """
     km = t_tau.shape[1]
@@ -120,12 +122,22 @@ def tracer_step(t_tau, t_tm1, vet, vnt, vbt, stf, btf, source,
     adv_tz = (UP(fb) - fb) * dzt2r[None]
 
     # horizontal diffusive fluxes (consthmix path, tracer.F:691-798)
-    ah_cstdxur = g.ah * g.cstdxur
-    diff_fe = ah_cstdxur[None, None] * (E(t_tm1) - t_tm1)
-    if iso is not None:
+    if hmix is not None and iso is None:
+        from .hmix import tracer_hdiff_bihar, tracer_hdiff_var
+        if hmix[0] == "smagnl":
+            diff_txy = tracer_hdiff_var(t_tm1, tmask, g,
+                                        hmix[1], hmix[2])
+        else:
+            diff_txy = tracer_hdiff_bihar(t_tm1, tmask, g, hmix[1],
+                                          cyclic)
+        fb_iso = None
+        diff_tx = diff_txy
+        diff_ty = jnp.zeros_like(diff_txy)
+    elif iso is not None:
         # isopycnal path: flux-form meridional diffusion plus the Redi
         # additions to the east/north fluxes (tracer.F:711-727, isoflux)
         from .isopyc import isoflux
+        diff_fe = g.ah * g.cstdxur[None, None] * (E(t_tm1) - t_tm1)
         fe_iso, fn_iso, fb_iso = isoflux(iso, t_tm1, tmask, g, cyclic)
         diff_fe = diff_fe + fe_iso
         diff_fn = (g.ah * (g.csu * g.dyur)[None, None, :, None]
@@ -133,14 +145,17 @@ def tracer_step(t_tau, t_tm1, vet, vnt, vbt, stf, btf, source,
         diff_ty = (diff_fn * N(tmask)[None]
                    - S(diff_fn) * S(tmask)[None]) \
             * (1.0 / (g.cst * g.dyt))[None, None, :, None]
+        diff_tx = (diff_fe * E(tmask)[None]
+                   - W(diff_fe) * W(tmask)[None]) * cstdxtr[None]
     else:
         fb_iso = None
+        diff_fe = g.ah * g.cstdxur[None, None] * (E(t_tm1) - t_tm1)
         ahc_n = g.ahc_north[None, None, :, None]
         ahc_s = g.ahc_south[None, None, :, None]
         diff_ty = (ahc_n * N(tmask)[None] * (N(t_tm1) - t_tm1)
                    - ahc_s * S(tmask)[None] * (t_tm1 - S(t_tm1)))
-    diff_tx = (diff_fe * E(tmask)[None]
-               - W(diff_fe) * W(tmask)[None]) * cstdxtr[None]
+        diff_tx = (diff_fe * E(tmask)[None]
+                   - W(diff_fe) * W(tmask)[None]) * cstdxtr[None]
 
     # vertical diffusive flux through cell bottoms (tracer.F:787-798);
     # broadcasting t (nt,km,j,i) against diff_cbt (km,j,i)
@@ -215,12 +230,16 @@ def hydrostatic_grad_p(rho, g, cyclic=True):
 
 
 def clinic_step(u_tau, u_tm1, rho, veu, vnu, vbu, smf, bmf,
-                visc_cbu, kmu, umask, g, c2dtuv, cyclic=True):
+                visc_cbu, kmu, umask, g, c2dtuv, cyclic=True,
+                hmix=None):
     """Baroclinic momentum step (clinic.F:1-500).
 
     u_tau/u_tm1 : (2, km, jmt, imt) full velocities
     rho         : (km, jmt, imt) density anomaly at tau
     smf/bmf     : (2, jmt, imt) surface/bottom momentum fluxes
+    hmix        : None (const am Laplacian)
+                  | ("smagnl", strain, am_lambda, am_phi, sine)
+                  | ("biharmonic", ambi)
     returns (u_int_new, zu): internal-mode velocity at tau+1 with the
     vertical mean removed, and the barotropic forcing zu (2, jmt, imt).
     """
@@ -261,19 +280,34 @@ def clinic_step(u_tau, u_tm1, rho, veu, vnu, vbu, smf, bmf,
         adv_metric = g.advmet[n][None, :, None] * u_tau[0] * other_tau
 
         # diffusive fluxes
-        diff_fe = am_csudxtr * (E(un_tm1) - un_tm1)
-        diff_ux = (diff_fe - W(diff_fe)) * csudxur
-        diff_uy = (amc_n * (N(un_tm1) - un_tm1)
-                   - amc_s * (un_tm1 - S(un_tm1)))
+        if hmix is not None and hmix[0] == "smagnl":
+            from .hmix import smag_momentum_terms
+            diff_ux, diff_uy, diff_metric_var = smag_momentum_terms(
+                hmix[1], hmix[2], hmix[3], g, hmix[4], n)
+        elif hmix is not None:
+            from .hmix import momentum_bihar_terms
+            diff_ux = momentum_bihar_terms(u_tm1, umask, g, hmix[1],
+                                           n, cyclic)
+            diff_uy = jnp.zeros_like(diff_ux)
+            diff_metric_var = jnp.zeros_like(diff_ux)
+        else:
+            diff_fe = am_csudxtr * (E(un_tm1) - un_tm1)
+            diff_ux = (diff_fe - W(diff_fe)) * csudxur
+            diff_uy = (amc_n * (N(un_tm1) - un_tm1)
+                       - amc_s * (un_tm1 - S(un_tm1)))
+            diff_metric_var = None
         diff_fb = visc_cbu * dzwr * (un_tm1 - DN(un_tm1))
         diff_fb = diff_fb.at[-1].set(0.0)
         diff_fb = jnp.where(is_bot, bmf[n][None], diff_fb)
         fb_above = UP(diff_fb)
         fb_above = fb_above.at[0].set(smf[n])
         diff_uz = (fb_above - diff_fb) * dztr
-        diff_metric = (am3 * un_tm1
-                       + g.am4[n][None, :, None] * dxmetr
-                       * (E(other_tm1) - W(other_tm1)))
+        if diff_metric_var is not None:
+            diff_metric = diff_metric_var
+        else:
+            diff_metric = (am3 * un_tm1
+                           + g.am4[n][None, :, None] * dxmetr
+                           * (E(other_tm1) - W(other_tm1)))
 
         coriolis = g.cori[n][None] * other_tau
 

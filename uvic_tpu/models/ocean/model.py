@@ -103,6 +103,7 @@ class OceanModel:
         bag.ah = cfg.ocean.ah
         bag.am = cfg.ocean.am
         bag.hr = jn(topo.hr)
+        self.sine = jn(g.sine)
         bag.grav_rho0r = GRAV * RHO0R
         if cfg.ocean.tracer_advection == "quicker":
             from ...ops.advection import quicker_coefficients
@@ -351,11 +352,26 @@ class OceanModel:
                     forcing.hice, forcing.hsno, self.tlat_rad,
                     forcing.relyr, c2dtts=c2dtts)
 
+        # variable horizontal mixing (smagnl.F / O_biharmonic)
+        hmix_t = hmix_u = None
+        if cfg.hmix == "smagnl":
+            from .hmix import smag_tracer_coefficients, smagnl_coefficients
+            strain, am_lam, am_phi = smagnl_coefficients(
+                u_tm1, g, self.cyclic)
+            cet, cnt = smag_tracer_coefficients(am_lam, am_phi,
+                                                cfg.smag_diff_back)
+            hmix_t = ("smagnl", cet, cnt)
+            hmix_u = ("smagnl", strain, am_lam, am_phi, self.sine)
+        elif cfg.hmix == "biharmonic":
+            hmix_t = ("biharmonic", cfg.ahbi)
+            hmix_u = ("biharmonic", cfg.ambi)
+
         # tracer step (tracer.F)
         t_new = tracer_step(
             t_tau, tm1, vet_t, vnt_t, vbt_t, stf, btf, source,
             diff_cbt, self.kmt, self.tmask, g, c2dtts,
-            cfg.tracer_advection, aidif, self.cyclic, iso=iso)
+            cfg.tracer_advection, aidif, self.cyclic, iso=iso,
+            hmix=hmix_t)
 
         # convective adjustment (convect.F)
         if cfg.convection == Convection.FULL:
@@ -376,7 +392,8 @@ class OceanModel:
         rho = eos_state_from(self.eos_c, self.eos_to, self.eos_so, t_tau)
         u_int_new, zu = clinic_step(
             u_tau, u_tm1, rho, veu, vnu, vbu, smf, bmf,
-            visc_cbu, self.kmu, self.umask, g, c2dtuv, self.cyclic)
+            visc_cbu, self.kmu, self.umask, g, c2dtuv, self.cyclic,
+            hmix=hmix_u)
 
         # high-latitude velocity filtering (clinic.F:480-493)
         if cfg.fourfil:

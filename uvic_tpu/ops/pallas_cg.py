@@ -142,16 +142,25 @@ def make_pallas_congrad(cf, z_pre, isl_onehot, isl_counts, interior,
             live = jnp.where(done, 0.0, 1.0).astype(dtype)
             zres = inv_op(res_ref[:])
             betak = dot2(zres, res_ref[:])
-            s_ref[:] = zres + (betak / betakm1) * s_ref[:]
-            as_ref[:] = border(apply_op(s_ref[:]))
+            # freeze ALL state once done: with a fixed trip count the
+            # loop keeps executing after convergence, and an unfrozen
+            # s <- zres + (betak/betakm1) s recurrence grows without
+            # bound (then 0 * inf poisons dpsi with NaN)
+            denom = jnp.where(jnp.abs(betakm1) > 0, betakm1, 1.0)
+            s_new = zres + (betak / denom) * s_ref[:]
+            s_ref[:] = jnp.where(done, s_ref[:], s_new)
+            as_new = border(apply_op(s_ref[:]))
+            as_ref[:] = jnp.where(done, as_ref[:], as_new)
             s_dot_as = dot2(s_ref[:], as_ref[:])
             safe = jnp.abs(s_dot_as) > jnp.abs(betak) * 1e-10
             alpha = jnp.where(safe,
                               betak / jnp.where(safe, s_dot_as, 1.0),
                               0.0) * live
-            dpsi_out[:] = dpsi_out[:] + alpha * s_ref[:]
-            res_ref[:] = border(island_avg_dist(
+            dpsi_out[:] = jnp.where(done, dpsi_out[:],
+                                    dpsi_out[:] + alpha * s_ref[:])
+            res_new = border(island_avg_dist(
                 res_ref[:] - alpha * as_ref[:]))
+            res_ref[:] = jnp.where(done, res_ref[:], res_new)
             k = iters + jnp.where(done, 0, 1)
             step = jnp.abs(alpha) * jnp.max(jnp.abs(s_ref[:]))
             step1 = jnp.where(done, step1, jnp.where(k == 1, step, step1))
