@@ -55,3 +55,24 @@ def test_ice_forms_and_drifts(coupled):
     # land never holds sea ice thickness
     land = np.asarray(m.embm.tmsk) == 0
     assert hice[land].max() == 0.0
+
+
+def test_awind_feedback():
+    cfg = small_config()
+    cfg = cfg.replace(
+        ocean=dataclasses.replace(
+            cfg.ocean, isopycmix=False, gent_mcwilliams=False,
+            dtts=43200.0, dtuv=1800.0, dtsf=1800.0, tolrsf=1e8),
+        embm=dataclasses.replace(cfg.embm, awind=True))
+    m = CoupledModel(cfg)
+    state = m.init_state()
+    # climatology 2 K colder than the state: a warm anomaly everywhere
+    m.awind.set_climatology(np.asarray(state.atm.at[0]) - 2.0)
+    w2, tx2, ty2, ws2 = m.awind.apply(
+        state.atm.at[0], m.embm.winds, m.taux_w, m.tauy_w, m.embm.wspd)
+    assert not bool(jnp.isnan(tx2).any())
+    assert float(jnp.abs(tx2 - m.taux_w).max()) > 0.0
+    assert float(ws2.min()) > 0.0
+    state = m.run(state, 2)
+    assert not bool(jnp.isnan(state.atm.at).any())
+    assert not bool(jnp.isnan(state.ocean.t).any())

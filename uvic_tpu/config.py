@@ -158,6 +158,7 @@ class EmbmConfig:
     solver_maxiter: int = 200
     adiff: float = 0.03                        # anomaly diffusion factor (&embm)
     rhmax: float = 0.85                        # max relative humidity before precip
+    awind: bool = False                        # O_embm_awind anomalous winds
 
 
 @dataclass(frozen=True)

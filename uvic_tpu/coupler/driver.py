@@ -75,6 +75,12 @@ class CoupledModel:
         self.co2ccn = 280.0     # atmospheric CO2 [ppmv] (co2ccn)
         self.anthro = 0.0       # CO2 radiative forcing (co2forc)
         self.cfcccn = None      # (cfc11 N,S, cfc12 N,S) [pptv]
+        self.awind = None
+        if cfg.embm.awind:
+            from ..models.embm.winds import WindFeedback
+            aw_area = (grid.cst[:, None] * grid.dyt[:, None]
+                       * grid.dxt[None, :])
+            self.awind = WindFeedback(grid, aw_area)
         self.tlat_deg = jnp.asarray(
             np.broadcast_to(grid.yt[:, None],
                             (grid.jmt, grid.imt)), dtype=cfg.np_dtype)
@@ -146,14 +152,22 @@ class CoupledModel:
 
     # ------------------------------------------------------------------
     def _atm_ice_step_impl(self, atm: AtmState, ice: IceState, sst, frzpt,
-                           uocn, vocn, anthro, *, mixing: bool):
-        """One atmosphere step with the ice model inside (embm.F:39-95)."""
+                           uocn, vocn, anthro, wind_pkg=None, *,
+                           mixing: bool):
+        """One atmosphere step with the ice model inside (embm.F:39-95).
+        wind_pkg: optional (winds, wspd, taux_w, tauy_w) from the
+        anomalous-wind feedback (winds.F add_awind)."""
         embm = self.embm
         cfg = self.cfg.embm
         dts = cfg.dtatm if mixing else 2.0 * cfg.dtatm
         at_old = atm.at if mixing else atm.atm1
+        if wind_pkg is None:
+            winds_a, wspd_a = embm.winds, embm.wspd
+            taux_w, tauy_w = self.taux_w, self.tauy_w
+        else:
+            winds_a, wspd_a, taux_w, tauy_w = wind_pkg
 
-        fl = embm.fluxes(atm, sst, dts=dts, anthro=anthro)
+        fl = embm.fluxes(atm, sst, dts=dts, anthro=anthro, wspd=wspd_a)
 
         # ---- sea ice (ice.F): dynamics, advection, thermodynamics ----
         if self.cfg.ice.enabled:
@@ -161,7 +175,7 @@ class CoupledModel:
                 uice, vice = evp_dynamics(
                     ice.uice[0], ice.uice[1], ice.hice, ice.aice,
                     embm.tmsk, self.umsk, self.fcor_u,
-                    self.taux_w, self.tauy_w, uocn, vocn,
+                    taux_w, tauy_w, uocn, vocn,
                     self.ocean.g, cfg.dtatm, self.cfg.ice.ndte,
                     embm.cyclic)
                 hice = ice_advection(ice.hice, uice, vice, self.ocean.g,
@@ -177,7 +191,7 @@ class CoupledModel:
                                   uice=jnp.stack([uice, vice]))
             ice, flx, oadj = ice_thermodynamics(
                 ice, atm.at[0], atm.at[1], fl["rh"], sst, frzpt,
-                embm.solins, embm.aca, embm.wspd, embm.elev, embm.tmsk,
+                embm.solins, embm.aca, wspd_a, embm.elev, embm.tmsk,
                 fl["dnswr"], fl["uplwr"], fl["upsens"], fl["upltnt"],
                 fl["evap"], dts, float(self.grid.zw[0]))
             dnswr, uplwr = flx["dnswr"], flx["uplwr"]
@@ -193,7 +207,7 @@ class CoupledModel:
         # ---- humidity transport + precipitation ----------------------
         fa_q = dts / (C.RHOATM * C.SHQ)
         forc_q = (fa_q * evap).at[0, :].set(0.0).at[-1, :].set(0.0)
-        coefs = embm._coef(embm.diff_n, dts)
+        coefs = embm._coef(embm.diff_n, dts, winds=winds_a)
         rhs_q = embm._bc(at_old[1] + forc_q)
         shum = embm.solve_tracer(rhs_q, atm.at[1], coefs,
                                  cfg.solver_tol, cfg.solver_maxiter)
@@ -239,9 +253,10 @@ class CoupledModel:
             + oadj["heat"],
             freshwater=dts * (precip - evap - psno + disch) * ocean_msk
             + oadj["freshwater"],
-            taux=dts * self.taux_w,
-            tauy=dts * self.tauy_w,
+            taux=dts * taux_w,
+            tauy=dts * tauy_w,
             swr=dts * dnswr,
+            wspd=dts * wspd_a,
             time=dts,
         )
         return new_atm, ice, acc
@@ -276,8 +291,9 @@ class CoupledModel:
                 c11n, c11s, c12n, c12s = self.cfcccn
                 cfc_atm = (hemispheric_blend(self.tlat_deg, c11n, c11s),
                            hemispheric_blend(self.tlat_deg, c12n, c12s))
+            wspd_mean = acc["wspd"] / atatm
             gflux, _ = surface_gas_fluxes(
-                sst, sss, self.embm.wspd, ao, surf, idx,
+                sst, sss, wspd_mean, ao, surf, idx,
                 co2ccn=self.co2ccn, cfc_atm=cfc_atm)
             # normalized virtual fluxes (gosbc.F:312-364): every bgc
             # tracer follows the salt flux anomaly scaled by its global
@@ -303,12 +319,23 @@ class CoupledModel:
         uocn, vocn = u_surf[0, 0], u_surf[1, 0]
 
         atm, ice = state.atm, state.ice
+
+        # anomalous wind feedback (winds.F): SAT anomaly vs climatology
+        # perturbs advecting winds, stress, and wind speed per segment
+        wind_pkg = None
+        if self.awind is not None and self.awind.t_clim is not None:
+            w2, tx2, ty2, ws2 = self.awind.apply(
+                atm.at[0], self.embm.winds, self.taux_w, self.tauy_w,
+                self.embm.wspd)
+            wind_pkg = (w2, ws2, tx2, ty2)
+
         acc = None
         for _ in range(self.ntspas):
             mixing = bool(atm.nats + 1 > self.cfg.embm.namix)
             atm, ice, a = self._atm_ice_step(
                 atm, ice, sst, frzpt, uocn, vocn,
-                jnp.asarray(self.anthro, sst.dtype), mixing=mixing)
+                jnp.asarray(self.anthro, sst.dtype), wind_pkg,
+                mixing=mixing)
             if acc is None:
                 acc = a
             else:

@@ -167,9 +167,10 @@ class EmbmModel:
 
     # ------------------------------------------------------------------
     def fluxes(self, state: AtmState, sst, aice=None, dts=54000.0,
-               anthro=0.0):
+               anthro=0.0, wspd=None):
         """Surface/TOA fluxes at tau (fluxes.F:2-278). sst: (jmt, imt).
-        ``anthro``: CO2 radiative forcing [erg/cm^2/s] (co2forc)."""
+        ``anthro``: CO2 radiative forcing [erg/cm^2/s] (co2forc).
+        ``wspd``: overrides the prescribed wind speed (awind feedback)."""
         at_sat = state.at[0]
         at_shum = state.at[1]
         telev = self.elev
@@ -192,7 +193,8 @@ class EmbmModel:
         ) - anthro
 
         fb = 0.94 * C.RHOATM * C.CPATM
-        wspd = self.wspd
+        if wspd is None:
+            wspd = self.wspd
 
         # ---- ocean points --------------------------------------------
         fg_o = C.DALT_O * wspd
@@ -257,8 +259,9 @@ class EmbmModel:
         y = y.at[:, 0].set(x[:, 0]).at[:, -1].set(x[:, -1])
         return y
 
-    def _coef(self, diff, dts):
-        """Implicit operator coefficients (solve.F coef:424-620)."""
+    def _coef(self, diff, dts, winds=None):
+        """Implicit operator coefficients (solve.F coef:424-620).
+        ``winds`` overrides the prescribed advecting winds (awind)."""
         g = self.g
         jmt = self.grid.jmt
         j = jnp.arange(jmt)
@@ -275,7 +278,9 @@ class EmbmModel:
         cc = 1.0 - cs - cn - cw - ce
 
         # upstream advection from the prescribed wind field at U cells
-        wx, wy = self.winds[0], self.winds[1]
+        if winds is None:
+            winds = self.winds
+        wx, wy = winds[0], winds[1]
         vs = jnp.roll(wy, (1, 1), axis=(0, 1)) + jnp.roll(wy, 1, axis=0)
         vn = jnp.roll(wy, 1, axis=1) + wy
         uw = jnp.roll(wx, (1, 1), axis=(0, 1)) + jnp.roll(wx, 1, axis=1)
