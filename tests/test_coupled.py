@@ -76,3 +76,24 @@ def test_awind_feedback():
     state = m.run(state, 2)
     assert not bool(jnp.isnan(state.atm.at).any())
     assert not bool(jnp.isnan(state.ocean.t).any())
+
+
+def test_seasonal_insolation():
+    from uvic_tpu.models.embm.insolation import daily_insolation
+    import jax.numpy as j
+    lat = j.deg2rad(j.asarray([[70.0], [-70.0]]))
+    summer = daily_insolation(lat, 172.0)   # NH solstice
+    winter = daily_insolation(lat, 355.0)
+    assert float(summer[0, 0]) > float(winter[0, 0]) + 1e4
+    assert float(summer[1, 0]) < float(winter[1, 0])
+
+    cfg = small_config()
+    cfg = cfg.replace(
+        ocean=dataclasses.replace(
+            cfg.ocean, isopycmix=False, gent_mcwilliams=False,
+            dtts=43200.0, dtuv=1800.0, dtsf=1800.0, tolrsf=1e8),
+        embm=dataclasses.replace(cfg.embm, seasonal=True))
+    m = CoupledModel(cfg)
+    state = m.init_state()
+    state = m.run(state, 2)
+    assert not bool(jnp.isnan(state.atm.at).any())

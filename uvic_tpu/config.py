@@ -159,6 +159,7 @@ class EmbmConfig:
     adiff: float = 0.03                        # anomaly diffusion factor (&embm)
     rhmax: float = 0.85                        # max relative humidity before precip
     awind: bool = False                        # O_embm_awind anomalous winds
+    seasonal: bool = False                     # seasonally varying insolation
 
 
 @dataclass(frozen=True)

@@ -84,6 +84,7 @@ class CoupledModel:
         self.tlat_deg = jnp.asarray(
             np.broadcast_to(grid.yt[:, None],
                             (grid.jmt, grid.imt)), dtype=cfg.np_dtype)
+        self.tlat_rad2d = jnp.deg2rad(self.tlat_deg)
         self.relyr = 0.0        # fractional year, advanced by run()
         self.year0 = cfg.time.year0
         self.transient = None   # set via set_transient_forcing()
@@ -152,11 +153,12 @@ class CoupledModel:
 
     # ------------------------------------------------------------------
     def _atm_ice_step_impl(self, atm: AtmState, ice: IceState, sst, frzpt,
-                           uocn, vocn, anthro, wind_pkg=None, *,
-                           mixing: bool):
+                           uocn, vocn, anthro, wind_pkg=None,
+                           solins=None, *, mixing: bool):
         """One atmosphere step with the ice model inside (embm.F:39-95).
         wind_pkg: optional (winds, wspd, taux_w, tauy_w) from the
-        anomalous-wind feedback (winds.F add_awind)."""
+        anomalous-wind feedback (winds.F add_awind).
+        solins: optional seasonal TOA insolation (else annual mean)."""
         embm = self.embm
         cfg = self.cfg.embm
         dts = cfg.dtatm if mixing else 2.0 * cfg.dtatm
@@ -166,8 +168,10 @@ class CoupledModel:
             taux_w, tauy_w = self.taux_w, self.tauy_w
         else:
             winds_a, wspd_a, taux_w, tauy_w = wind_pkg
+        solins_a = embm.solins if solins is None else solins
 
-        fl = embm.fluxes(atm, sst, dts=dts, anthro=anthro, wspd=wspd_a)
+        fl = embm.fluxes(atm, sst, dts=dts, anthro=anthro, wspd=wspd_a,
+                         solins=solins_a)
 
         # ---- sea ice (ice.F): dynamics, advection, thermodynamics ----
         if self.cfg.ice.enabled:
@@ -191,7 +195,7 @@ class CoupledModel:
                                   uice=jnp.stack([uice, vice]))
             ice, flx, oadj = ice_thermodynamics(
                 ice, atm.at[0], atm.at[1], fl["rh"], sst, frzpt,
-                embm.solins, embm.aca, wspd_a, embm.elev, embm.tmsk,
+                solins_a, embm.aca, wspd_a, embm.elev, embm.tmsk,
                 fl["dnswr"], fl["uplwr"], fl["upsens"], fl["upltnt"],
                 fl["evap"], dts, float(self.grid.zw[0]))
             dnswr, uplwr = flx["dnswr"], flx["uplwr"]
@@ -230,7 +234,7 @@ class CoupledModel:
         fb_l = dts * C.VLOCN / (C.CPATM * C.RHOATM * C.SHT)
         fc = dts * C.SLICE / (C.CPATM * C.RHOATM * C.SHT) - fb_l
         fd = C.SCATTER * (1.0 + C.PASS)
-        forc_t = fa * (embm.solins * embm.aca * fd
+        forc_t = fa * (solins_a * embm.aca * fd
                        - dnswr * C.SCATTER - fl["outlwr"]
                        + uplwr + upsens)
         forc_t = (forc_t + precip * fb_l + fc * psno)
@@ -329,12 +333,21 @@ class CoupledModel:
                 self.embm.wspd)
             wind_pkg = (w2, ws2, tx2, ty2)
 
+        # seasonal insolation at the segment midpoint (setembm/zenith)
+        solins = None
+        if self.cfg.embm.seasonal:
+            from ..models.embm.insolation import daily_insolation
+            yrlen = 360.0 if self.cfg.time.eqyear else 365.0
+            day = (self.relyr % 1.0) * yrlen \
+                + 0.5 * self.cfg.time.segtim_days
+            solins = daily_insolation(self.tlat_rad2d, day, yrlen)
+
         acc = None
         for _ in range(self.ntspas):
             mixing = bool(atm.nats + 1 > self.cfg.embm.namix)
             atm, ice, a = self._atm_ice_step(
                 atm, ice, sst, frzpt, uocn, vocn,
-                jnp.asarray(self.anthro, sst.dtype), wind_pkg,
+                jnp.asarray(self.anthro, sst.dtype), wind_pkg, solins,
                 mixing=mixing)
             if acc is None:
                 acc = a

@@ -167,7 +167,7 @@ class EmbmModel:
 
     # ------------------------------------------------------------------
     def fluxes(self, state: AtmState, sst, aice=None, dts=54000.0,
-               anthro=0.0, wspd=None):
+               anthro=0.0, wspd=None, solins=None):
         """Surface/TOA fluxes at tau (fluxes.F:2-278). sst: (jmt, imt).
         ``anthro``: CO2 radiative forcing [erg/cm^2/s] (co2forc).
         ``wspd``: overrides the prescribed wind speed (awind feedback)."""
@@ -182,7 +182,9 @@ class EmbmModel:
         ssh_eff = C.CSSH * jnp.exp(17.67 * teff / (teff + 243.5))
         rh = jnp.clip(at_shum / (ssh_eff + EPSLN), 0.0, 1.0)
 
-        dnswr = self.solins * self.aca * C.PASS * self.sca
+        if solins is None:
+            solins = self.solins
+        dnswr = solins * self.aca * C.PASS * self.sca
 
         b = C.TW_B
         outlwr = 1.0e3 * (
