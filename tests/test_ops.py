@@ -129,3 +129,91 @@ def test_fct_no_new_extrema():
     # mass conserved (cyclic interior)
     np.testing.assert_allclose(t_fin[0, 1, 1:-1].sum(),
                                t0[0, 1, 1:-1].sum(), rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# high-latitude zonal filters (filfir.F / filt.F+filtr.F)
+# ---------------------------------------------------------------------------
+
+def test_fir_matrix_matches_unrolled():
+    """The precomputed matrix filter reproduces the pass-by-pass FIR."""
+    import numpy as np
+    import jax.numpy as jnp
+    from uvic_tpu.ops.filters import build_fir_filter, fir_filter
+
+    rng = np.random.default_rng(0)
+    km, jmt, imt = 3, 10, 16
+    mask = (rng.random((km, jmt, imt)) > 0.3).astype(np.float64)
+    mask[..., 0] = mask[..., -2]
+    mask[..., -1] = mask[..., 1]
+    npass = np.array([0, 0, 1, 3, 0, 0, 2, 4, 0, 0])
+    field = rng.standard_normal((2, km, jmt, imt))
+
+    ref = fir_filter(jnp.asarray(field), jnp.asarray(mask)[None], npass,
+                     "symmetric", True)
+    out = build_fir_filter(mask, npass, "symmetric", True,
+                           np.float64)(jnp.asarray(field))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-12)
+
+    ref = fir_filter(jnp.asarray(field), jnp.asarray(mask)[None], npass,
+                     "asymmetric", True)
+    out = build_fir_filter(mask, npass, "asymmetric", True,
+                           np.float64)(jnp.asarray(field))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-12)
+
+
+def test_fourier_filter_truncates_and_preserves():
+    """Fourier variant: idempotent projection; keeps retained low modes
+    exactly on a land-free cyclic row; identity on unfiltered rows."""
+    import numpy as np
+    import jax.numpy as jnp
+    from uvic_tpu.ops.filters import build_fourier_filter
+
+    jmt, imt = 8, 34
+    ni = imt - 2
+    mask = np.ones((jmt, imt))
+    lat = np.array([-85.0, -75.0, -60.0, 0.0, 30.0, 70.0, 80.0, 85.0])
+    filt = build_fourier_filter(mask, lat, "symmetric", True, np.float64)
+
+    x = np.arange(ni) * 2 * np.pi / ni
+    low = np.cos(2 * x)          # wavenumber 2: kept everywhere filtered
+    hi = np.cos(14 * x)          # wavenumber 14: cut at high lat
+    f = np.zeros((jmt, imt))
+    f[:, 1:-1] = low + hi
+    f[:, 0] = f[:, -2]
+    f[:, -1] = f[:, 1]
+    out = np.asarray(filt(jnp.asarray(f)))
+
+    # unfiltered mid-latitude rows unchanged
+    np.testing.assert_allclose(out[2:5], f[2:5], atol=1e-12)
+    # 85-deg rows: n = nint(32*cos(85)/cos(67.5)) = 7 -> mode 14 removed,
+    # mode 2 kept
+    np.testing.assert_allclose(out[0, 1:-1], low, atol=1e-9)
+    np.testing.assert_allclose(out[-1, 1:-1], low, atol=1e-9)
+    # projection: applying twice = applying once
+    np.testing.assert_allclose(np.asarray(filt(jnp.asarray(out))), out,
+                               atol=1e-9)
+
+
+def test_fourier_filter_segments_identity_on_land():
+    import numpy as np
+    import jax.numpy as jnp
+    from uvic_tpu.ops.filters import build_fourier_filter
+
+    jmt, imt = 4, 26
+    mask = np.ones((jmt, imt))
+    mask[:, 5:9] = 0.0         # a land block -> two segments on the circle
+    lat = np.array([-85.0, 0.0, 0.0, 85.0])
+    filt = build_fourier_filter(mask, lat, "symmetric", True, np.float64)
+    rng = np.random.default_rng(1)
+    f = rng.standard_normal((jmt, imt))
+    out = np.asarray(filt(jnp.asarray(f)))
+    # land points untouched
+    np.testing.assert_allclose(out[:, 5:9], f[:, 5:9], atol=1e-12)
+    # cosine projection preserves the segment mean-ish structure: the
+    # constant function is in the kept basis -> constants are fixed points
+    c = np.ones((jmt, imt))
+    np.testing.assert_allclose(np.asarray(filt(jnp.asarray(c))), c,
+                               atol=1e-9)

@@ -138,7 +138,8 @@ class OceanConfig:
     dm_taper: bool = False                     # O_dm_taper slope taper
     tidal_kv: bool = False                     # O_tidal_kv addition to kappa_h
     sf_npt: int = 5                            # O_sf_5_point | O_sf_9_point
-    fourfil: bool = True                       # high-lat filtering (FIR impl)
+    fourfil: bool = True                       # high-lat filtering on/off
+    hlat_filter: str = "fir"                   # "fir" (O_firfil) | "fourier" (O_fourfil)
     # shortwave penetration (O_shortwave)
     shortwave: bool = False
 

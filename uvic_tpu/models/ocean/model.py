@@ -153,11 +153,23 @@ class OceanModel:
         self.visc_cbu = jnp.full((km, jmt, imt), cfg.ocean.kappa_m, dtype=dt)
         self.dztxcl = jn(g.dzt) / bag.dtxcel
 
-        # high-latitude FIR filter pass counts (setcom.F:101-132)
-        from ...ops.filters import filter_passes
-        self.npass_t = filter_passes(np.asarray(g.yt), imt)
-        self.npass_u = filter_passes(np.asarray(g.yu), imt)
-        self.sf_filter_mask = jn((topo.land_map <= 0).astype(np.float64))
+        # high-latitude zonal filters (setcom.F:101-132) precomputed as
+        # per-(level,row) matrices applied as one batched matmul
+        if cfg.ocean.fourfil:
+            from ...ops.filters import build_hlat_filter
+            meth = cfg.ocean.hlat_filter
+            self.filt_t = build_hlat_filter(
+                meth, topo.tmask, np.asarray(g.yt), imt,
+                "symmetric", g.cyclic, dt)
+            self.filt_u = build_hlat_filter(
+                meth, topo.umask, np.asarray(g.yu), imt,
+                "asymmetric", g.cyclic, dt)
+            sfmask = (topo.land_map <= 0).astype(np.float64)
+            self.filt_sf = build_hlat_filter(
+                meth, sfmask, np.asarray(g.yt), imt,
+                "symmetric", g.cyclic, dt)
+        else:
+            self.filt_t = self.filt_u = self.filt_sf = None
 
         self.nt = params.nt
         self.tracer_index = params.tracer_index
@@ -382,10 +394,8 @@ class OceanModel:
                                 self.eos_so, self.dztxcl, cfg.ncon)
 
         # high-latitude tracer filtering (tracer.F:980-993)
-        if cfg.fourfil:
-            from ...ops.filters import fir_filter
-            t_new = fir_filter(t_new, self.tmask[None], self.npass_t,
-                               "symmetric", self.cyclic)
+        if self.filt_t is not None:
+            t_new = self.filt_t(t_new)
         t_new = setbcx(t_new, self.cyclic)
 
         # baroclinic momentum step (clinic.F); density from tau tracers
@@ -396,15 +406,12 @@ class OceanModel:
             hmix=hmix_u)
 
         # high-latitude velocity filtering (clinic.F:480-493)
-        if cfg.fourfil:
-            from ...ops.filters import fir_filter
-            u_int_new = fir_filter(u_int_new, self.umask[None],
-                                   self.npass_u, "asymmetric", self.cyclic)
+        if self.filt_u is not None:
+            u_int_new = self.filt_u(u_int_new)
             u_int_new = setbcx(u_int_new, self.cyclic)
 
         # barotropic streamfunction solve (tropic.F)
-        sf_filt = ((self.sf_filter_mask, self.npass_t)
-                   if cfg.fourfil else None)
+        sf_filt = self.filt_sf
         psi0n, psi1n, ptd, ptdb, iters, est, conv = tropic_step(
             zu, psi0, psi1, state.ptd, state.ptdb,
             self.cf_unit, self.cf_acor, self.isl,

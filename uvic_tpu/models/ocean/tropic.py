@@ -125,16 +125,14 @@ def tropic_step(zu, psi0, psi1, ptd_hist, ptdb_hist, cf_unit, cf_acor,
     """Solve for the change in streamfunction and update the two psi time
     levels (tropic.F:127-293).
 
-    filt: optional (mask, npass_j) pair for high-latitude filtering of
-    the forcing (filz, tropic.F:136-141).
+    filt: optional ZonalFilter for high-latitude filtering of the
+    forcing (filz, tropic.F:136-141).
     Returns (psi0_new, psi1_new, ptd_new, ptdb_new, iterations, est_err,
     converged).
     """
     forc = sfforc(zu, dxu, dyu, csu)
     if filt is not None:
-        from ...ops.filters import fir_filter
-        mask, npass_j = filt
-        forc = fir_filter(forc, mask, npass_j, "symmetric", cyclic)
+        forc = filt(forc)
     if npt == 9:
         # the 9-point operator annihilates the checkerboard mode as well
         # as constants (diagonal-difference construction): deflate the
