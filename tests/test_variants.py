@@ -153,3 +153,59 @@ def test_transient_forcing():
     assert 280 < f2000["co2ccn"] < 380
     assert f2000["co2ccn"] > f1850["co2ccn"]
     assert co2_series().at(1000.0) == pytest.approx(280.0)
+
+
+# ---------------------------------------------------------------------------
+# surface-pressure barotropic modes (bardiv.F / spforc / spc9pt)
+# ---------------------------------------------------------------------------
+
+def _sp_divergence(m, s):
+    """max |div(H ubar)| over interior T cells (the constraint the
+    rigid-lid elliptic solve enforces, bardiv.F:146-178)."""
+    from uvic_tpu.models.ocean.surfpress import spforc
+    g = m.g
+    d = spforc(s.ubar, g.dxu, g.dyu, g.csu, g.h)
+    return float(jnp.abs(d[1:-1, 1:-1]).max())
+
+
+@pytest.mark.parametrize("mode", ["surface_pressure",
+                                  "implicit_free_surface"])
+def test_surface_pressure_modes_stable(mode):
+    m, s, f = _setup(barotropic=mode, mxscan=300,
+                     tolrsp=1e-6, tolrfs=1e-6)
+    s = m.run(s, f, 20)   # crosses a mixing step at itt%16==0
+    assert not bool(jnp.isnan(s.psi0).any())     # ps field
+    assert not bool(jnp.isnan(s.ubar).any())
+    assert not bool(jnp.isnan(s.t).any())
+    assert float(jnp.abs(s.ubar).max()) > 0.0    # wind spun up a flow
+    assert float(jnp.abs(s.ubar).max()) < 1e3    # bounded [cm/s]
+
+
+def test_rigid_lid_divergence_constraint():
+    """After the correction step the barotropic transport is
+    non-divergent up to solver tolerance."""
+    m, s, f = _setup(barotropic="surface_pressure", mxscan=500,
+                     tolrsp=1e-8)
+    s = m.run(s, f, 5)
+    div = _sp_divergence(m, s)
+    # raw forcing divergence scale for comparison
+    zu_scale = float(jnp.abs(s.ubar).max())
+    h_scale = float(jnp.abs(m.g.h).max())
+    dx = float(m.g.dxu.min())
+    assert div < 1e-4 * zu_scale * h_scale * dx
+
+
+def test_surface_pressure_euler_backward():
+    m, s, f = _setup(barotropic="surface_pressure", eb=True,
+                     mxscan=300, tolrsp=1e-6)
+    s = m.run(s, f, 18)
+    assert not bool(jnp.isnan(s.t).any())
+    assert not bool(jnp.isnan(s.ubar).any())
+
+
+def test_surface_pressure_scan_driver():
+    m, s, f = _setup(barotropic="surface_pressure", mxscan=200,
+                     tolrsp=1e-6)
+    s = m.run_scan(s, f, 18)
+    assert not bool(jnp.isnan(s.t).any())
+    assert not bool(jnp.isnan(s.ubar).any())

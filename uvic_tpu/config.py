@@ -41,6 +41,7 @@ class TracerAdvection:
 class BarotropicMode:
     STREAM_FUNCTION = "stream_function"   # O_stream_function (default)
     SURFACE_PRESSURE = "surface_pressure"  # O_rigid_lid_surface_pressure
+    IMPLICIT_FREE_SURFACE = "implicit_free_surface"  # O_implicit_free_surface
 
 
 class VerticalMixing:
@@ -118,6 +119,8 @@ class OceanConfig:
     # barotropic solver (control.in &riglid)
     mxscan: int = 200
     tolrsf: float = 5.0e8
+    tolrsp: float = 1.0e-4                     # surface-pressure tolerance
+    tolrfs: float = 1.0e-4                     # free-surface tolerance
     # isopycnal mixing (control.in &isopyc)
     slmx: float = 0.01                         # max isopycnal slope
     ahisop: float = 1.2e7                      # isopycnal diffusivity [cm^2/s]

@@ -27,13 +27,20 @@ class OceanState:
     um1: jnp.ndarray
     u: jnp.ndarray
     # streamfunction [jmt, imt] at tau (psi0) and tau-1 (psi1)
-    # (emode.h psi(imt,jmt,1:2))
+    # (emode.h psi(imt,jmt,1:2)); in the surface-pressure barotropic
+    # modes these slots hold the surface pressure ps(tau)/ps(tau-1)
     psi0: jnp.ndarray
     psi1: jnp.ndarray
     # last two barotropic solutions, for the CG initial guess
-    # (tropic.F:146-160 reads them from kflds records)
+    # (tropic.F:146-160 reads them from kflds records); in the
+    # surface-pressure modes ptd holds pguess (emode.h:102)
     ptd: jnp.ndarray
     ptdb: jnp.ndarray
+    # barotropic velocities [2, jmt, imt] at tau and tau-1 — prognostic
+    # only in the surface-pressure modes (emode.h:105 ubar/ubarm1);
+    # zeros in the streamfunction mode
+    ubar: jnp.ndarray
+    ubarm1: jnp.ndarray
     # step counter
     itt: jnp.ndarray
 
@@ -53,5 +60,7 @@ def init_ocean_state(nt: int, km: int, jmt: int, imt: int, dtype,
         psi1=jnp.zeros((jmt, imt), dtype=dtype),
         ptd=jnp.zeros((jmt, imt), dtype=dtype),
         ptdb=jnp.zeros((jmt, imt), dtype=dtype),
+        ubar=jnp.zeros((2, jmt, imt), dtype=dtype),
+        ubarm1=jnp.zeros((2, jmt, imt), dtype=dtype),
         itt=jnp.zeros((), dtype=jnp.int32),
     )

@@ -103,6 +103,7 @@ class OceanModel:
         bag.ah = cfg.ocean.ah
         bag.am = cfg.ocean.am
         bag.hr = jn(topo.hr)
+        bag.h = jn(topo.h)
         self.sine = jn(g.sine)
         bag.grav_rho0r = GRAV * RHO0R
         if cfg.ocean.tracer_advection == "quicker":
@@ -130,15 +131,61 @@ class OceanModel:
             ocean_mask=jn((topo.land_map <= 0).astype(np.float64)),
         )
 
-        # 5- or 9-point barotropic operator at unit timestep
-        from .tropic import sfc9pt_unit
-        _sfc = sfc9pt_unit if cfg.ocean.sf_npt == 9 else sfc5pt_unit
-        cf_unit, cf_acor = _sfc(
-            np.asarray(g.dxu), np.asarray(g.dyu), np.asarray(g.csu),
-            np.asarray(topo.hr),
-            f=np.asarray(params.cori[0]), acor=cfg.ocean.acor)
-        self.cf_unit = jn(cf_unit)
-        self.cf_acor = jn(cf_acor)
+        # barotropic mode selection (O_stream_function vs the
+        # surface-pressure formulations, emode.h)
+        from ...config import BarotropicMode
+        self.barotropic = cfg.ocean.barotropic
+        self.sp_mode = self.barotropic in (
+            BarotropicMode.SURFACE_PRESSURE,
+            BarotropicMode.IMPLICIT_FREE_SURFACE)
+        if self.sp_mode:
+            from .surfpress import spc9pt_unit
+            self.cf_sp = jn(spc9pt_unit(
+                np.asarray(g.dxu), np.asarray(g.dyu), np.asarray(g.csu),
+                np.asarray(topo.h)))
+            omask2d = (topo.land_map <= 0).astype(np.float64)
+            inter = np.zeros_like(omask2d)
+            inter[1:-1, 1:-1] = 1.0
+            self.fs_diag_unit = jn(
+                -(np.asarray(g.cst) * np.asarray(g.dyt))[:, None]
+                * np.asarray(g.dxt)[None, :] / (GRAV * cfg.ocean.dtsf)
+                * omask2d * inter)
+            self.isl_sp = IslandIndex(
+                perim_id=jnp.full((g.jmt, g.imt), -1, jnp.int32),
+                nisle=0, counts=jn(np.zeros(1)), imain=-1,
+                ocean_mask=jn(omask2d))
+            self.sp_omask = jn(omask2d)
+            # high-latitude filtering of the external-mode forcing zu:
+            # the streamfunction path filters its forcing (filz,
+            # tropic.F:136-141) but bardiv.F dropped uhat filtering, so
+            # the sp modes have no converging-meridian protection in the
+            # reference and are unstable at the standard grid/timestep;
+            # filtering zu is the direct analog of filz (divergence from
+            # reference, required for std-grid stability)
+            if cfg.ocean.fourfil:
+                from ...ops.filters import build_hlat_filter
+                umask1_np = (np.asarray(topo.kmu) > 0).astype(np.float64)
+                self.filt_zu = build_hlat_filter(
+                    cfg.ocean.hlat_filter, umask1_np, np.asarray(g.yu),
+                    g.imt, "asymmetric", g.cyclic, dt)
+            else:
+                self.filt_zu = None
+            # alph/gam/theta time-blend constants (setmom.F:105-113)
+            if self.barotropic == BarotropicMode.IMPLICIT_FREE_SURFACE:
+                self.sp_consts = (1.0 / 3.0, 1.0 / 3.0, 0.5)
+            else:
+                self.sp_consts = (1.0, 0.0, 1.0)
+            self.cf_unit = self.cf_acor = None
+        else:
+            # 5- or 9-point streamfunction operator at unit timestep
+            from .tropic import sfc9pt_unit
+            _sfc = sfc9pt_unit if cfg.ocean.sf_npt == 9 else sfc5pt_unit
+            cf_unit, cf_acor = _sfc(
+                np.asarray(g.dxu), np.asarray(g.dyu), np.asarray(g.csu),
+                np.asarray(topo.hr),
+                f=np.asarray(params.cori[0]), acor=cfg.ocean.acor)
+            self.cf_unit = jn(cf_unit)
+            self.cf_acor = jn(cf_acor)
 
         # mixing coefficients (vmixc.F:63-106); scheme selected by config
         km, jmt, imt = g.km, g.jmt, g.imt
@@ -211,7 +258,7 @@ class OceanModel:
         except Exception:
             on_tpu = False
         if on_tpu and cfg.parallel.mesh_shape == (1, 1) \
-                and cfg.ocean.acor == 0.0:
+                and cfg.ocean.acor == 0.0 and not self.sp_mode:
             from ...ops.pallas_cg import make_pallas_congrad
             from ...ops.solvers import make_inv
             pid = np.asarray(topo.perim_id)
@@ -246,10 +293,15 @@ class OceanModel:
         return init_ocean_state(self.nt, g.km, g.jmt, g.imt,
                                 self.cfg.np_dtype, t_init)
 
-    def full_velocity(self, u_int, psi):
-        """Internal + external mode, masked (loadmw.F add_ext_mode)."""
-        uext, vext = ext_mode_velocity(psi, self.g.hr, self.g.dxu2r,
-                                       self.g.dyu2r, self.g.csur)
+    def full_velocity(self, u_int, ext):
+        """Internal + external mode, masked (loadmw.F add_ext_mode).
+        ``ext`` is the streamfunction (jmt, imt) or, in the
+        surface-pressure modes, ubar (2, jmt, imt) directly."""
+        if self.sp_mode:
+            uext, vext = ext[0], ext[1]
+        else:
+            uext, vext = ext_mode_velocity(ext, self.g.hr, self.g.dxu2r,
+                                           self.g.dyu2r, self.g.csur)
         u = (u_int[0] + uext[None]) * self.umask
         v = (u_int[1] + vext[None]) * self.umask
         u = setbcx(u, self.cyclic)
@@ -273,6 +325,7 @@ class OceanModel:
             tm1, t_tau = state.tm1, state.t
             um1_int, u_int = state.um1, state.u
             psi0, psi1 = state.psi0, state.psi1
+            ub_tm1 = state.ubarm1
         elif isinstance(leapfrog, bool):
             if leapfrog:
                 c2dtts, c2dtuv, c2dtsf = (2 * cfg.dtts, 2 * cfg.dtuv,
@@ -280,12 +333,15 @@ class OceanModel:
                 tm1, t_tau = state.tm1, state.t
                 um1_int, u_int = state.um1, state.u
                 psi0, psi1 = state.psi0, state.psi1
+                ub_tm1 = state.ubarm1
             else:
-                # forward mixing step: tau-1 <- tau (mom.F:119-148)
+                # forward mixing step: tau-1 <- tau (mom.F:119-148;
+                # ubarm1 <- ubar at mixing-step entry, mom.F:163-167)
                 c2dtts, c2dtuv, c2dtsf = cfg.dtts, cfg.dtuv, cfg.dtsf
                 tm1, t_tau = state.t, state.t
                 um1_int, u_int = state.u, state.u
                 psi0, psi1 = state.psi0, state.psi0
+                ub_tm1 = state.ubar
         else:
             lf = leapfrog
             one = jnp.asarray(1.0, state.t.dtype)
@@ -298,10 +354,15 @@ class OceanModel:
             u_int = state.u
             psi0 = state.psi0
             psi1 = jnp.where(lf, state.psi1, state.psi0)
+            ub_tm1 = jnp.where(lf, state.ubarm1, state.ubar)
 
         # full velocities at both time levels
-        u_tau = self.full_velocity(u_int, psi0)
-        u_tm1 = self.full_velocity(um1_int, psi1)
+        if self.sp_mode:
+            u_tau = self.full_velocity(u_int, state.ubar)
+            u_tm1 = self.full_velocity(um1_int, ub_tm1)
+        else:
+            u_tau = self.full_velocity(u_int, psi0)
+            u_tm1 = self.full_velocity(um1_int, psi1)
 
         # face advection velocities (adv_vel.F)
         vet, vnt, vbt, veu, vnu, vbu = adv_vel(
@@ -410,7 +471,34 @@ class OceanModel:
             u_int_new = self.filt_u(u_int_new)
             u_int_new = setbcx(u_int_new, self.cyclic)
 
-        # barotropic streamfunction solve (tropic.F)
+        # barotropic solve: streamfunction (tropic.F) or surface
+        # pressure / implicit free surface (bardiv.F)
+        if self.sp_mode:
+            from ...config import BarotropicMode
+            from .surfpress import surface_pressure_step
+            alph, gam_b, theta = self.sp_consts
+            fs = self.barotropic == BarotropicMode.IMPLICIT_FREE_SURFACE
+            if self.filt_zu is not None:
+                zu = self.filt_zu(zu)
+            ps0n, ps1n, pguess, ubar_n, iters, est, conv = \
+                surface_pressure_step(
+                    zu, state.psi0, state.psi1, psi1, state.ptd,
+                    state.ubar, ub_tm1, self.cf_sp, self.fs_diag_unit,
+                    self.isl_sp, g, self.umask[0], self.sp_omask,
+                    c2dtsf, cfg.dtsf,
+                    cfg.tolrfs if fs else cfg.tolrsp, cfg.mxscan,
+                    leapfrog, free_surface=fs, alph=alph, gam=gam_b,
+                    theta=theta, acor=cfg.acor, cori=g.cori[0],
+                    eb_pass=eb_pass, cyclic=self.cyclic)
+            return OceanState(
+                tm1=t_tau, t=t_new,
+                um1=u_int, u=u_int_new,
+                psi0=ps0n, psi1=ps1n, ptd=pguess, ptdb=state.ptdb,
+                ubar=ubar_n,
+                ubarm1=(state.ubarm1 if eb_pass == 2 else state.ubar),
+                itt=state.itt + 1,
+            )
+
         sf_filt = self.filt_sf
         psi0n, psi1n, ptd, ptdb, iters, est, conv = tropic_step(
             zu, psi0, psi1, state.ptd, state.ptdb,
@@ -424,6 +512,7 @@ class OceanModel:
             tm1=t_tau, t=t_new,
             um1=u_int, u=u_int_new,
             psi0=psi0n, psi1=psi1n, ptd=ptd, ptdb=ptdb,
+            ubar=state.ubar, ubarm1=state.ubarm1,
             itt=state.itt + 1,
         )
 
@@ -441,10 +530,20 @@ class OceanModel:
         predictor pass (euler1) whose tau+1 fields become the tau
         arguments for a corrector pass (euler2)."""
         s1 = self._step(state, forcing, leapfrog=False, eb_pass=1)
-        mid = OceanState(
-            tm1=state.t, t=s1.t, um1=state.u, u=s1.u,
-            psi0=s1.psi0, psi1=state.psi0,
-            ptd=state.ptd, ptdb=state.ptdb, itt=state.itt)
+        if self.sp_mode:
+            # euler1 committed pguess (+ps for free surface) into s1;
+            # euler2 solves against the original ps levels (bardiv.F)
+            mid = OceanState(
+                tm1=state.t, t=s1.t, um1=state.u, u=s1.u,
+                psi0=s1.psi0, psi1=s1.psi1,
+                ptd=s1.ptd, ptdb=state.ptdb,
+                ubar=s1.ubar, ubarm1=s1.ubarm1, itt=state.itt)
+        else:
+            mid = OceanState(
+                tm1=state.t, t=s1.t, um1=state.u, u=s1.u,
+                psi0=s1.psi0, psi1=state.psi0,
+                ptd=state.ptd, ptdb=state.ptdb,
+                ubar=state.ubar, ubarm1=state.ubarm1, itt=state.itt)
         s2 = self._step(mid, forcing, leapfrog=False, eb_pass=2)
         # euler_shuffle: tau-1 <- tau(original), tau <- tau+1
         return s2.replace(tm1=state.t, um1=state.u, itt=state.itt + 1)
