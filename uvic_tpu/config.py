@@ -172,6 +172,9 @@ class IceConfig:
     evp: bool = True                           # O_ice_evp dynamics
     ndte: int = 30                             # EVP subcycles per dynamics step
     niats: int = 1                             # advection substeps
+    cpts: int = 0                              # O_ice_cpts3/5/10: category
+    #                                            count (0 = 0-layer therm.F)
+    nlay: int = 4                              # enthalpy layers per category
 
 
 @dataclass(frozen=True)

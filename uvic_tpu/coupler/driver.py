@@ -47,6 +47,7 @@ class CoupledState:
     ice: IceState
     land: Any = None       # LandState when cfg.land.enabled
     sed: Any = None        # SedState when cfg.sed.enabled
+    cpts: Any = None       # CptsState when cfg.ice.cpts > 0
 
 
 class CoupledModel:
@@ -105,6 +106,13 @@ class CoupledModel:
         self.taux_w = C.RHOATM * C.CDATM * wmag * w[0]
         self.tauy_w = C.RHOATM * C.CDATM * wmag * w[1]
 
+        # multi-category ice (cpts.F) static tables
+        if cfg.ice.cpts > 0:
+            from ..models.ice import cpts as cpts_mod
+            self._cpts_hstar = cpts_mod.HSTAR[cfg.ice.cpts]
+            self._cpts_saltz = jnp.asarray(
+                cpts_mod.salinity_profile(cfg.ice.nlay), dtype=cfg.np_dtype)
+
         self._atm_ice_step = jax.jit(self._atm_ice_step_impl,
                                      static_argnames=("mixing",))
 
@@ -125,8 +133,13 @@ class CoupledModel:
         if self.cfg.sed.enabled:
             from ..models.sed.sediment import init_sed_state
             sed = init_sed_state(grid.jmt, grid.imt, self.cfg.np_dtype)
+        cpts_st = None
+        if self.cfg.ice.cpts > 0:
+            from ..models.ice.cpts import init_cpts_state
+            cpts_st = init_cpts_state(self.cfg.ice.cpts, self.cfg.ice.nlay,
+                                      grid.jmt, grid.imt, self.cfg.np_dtype)
         return CoupledState(ocean=ocean, atm=atm, ice=ice, land=land,
-                            sed=sed)
+                            sed=sed, cpts=cpts_st)
 
     def _default_ocean_ic(self):
         g = self.grid
@@ -154,7 +167,7 @@ class CoupledModel:
     # ------------------------------------------------------------------
     def _atm_ice_step_impl(self, atm: AtmState, ice: IceState, sst, frzpt,
                            uocn, vocn, anthro, wind_pkg=None,
-                           solins=None, *, mixing: bool):
+                           solins=None, cpts_st=None, *, mixing: bool):
         """One atmosphere step with the ice model inside (embm.F:39-95).
         wind_pkg: optional (winds, wspd, taux_w, tauy_w) from the
         anomalous-wind feedback (winds.F add_awind).
@@ -174,6 +187,9 @@ class CoupledModel:
                          solins=solins_a)
 
         # ---- sea ice (ice.F): dynamics, advection, thermodynamics ----
+        use_cpts = self.cfg.ice.cpts > 0 and cpts_st is not None
+        if use_cpts:
+            from ..models.ice import cpts as cpts_mod
         if self.cfg.ice.enabled:
             if self.cfg.ice.evp:
                 uice, vice = evp_dynamics(
@@ -182,12 +198,34 @@ class CoupledModel:
                     taux_w, tauy_w, uocn, vocn,
                     self.ocean.g, cfg.dtatm, self.cfg.ice.ndte,
                     embm.cyclic)
-                hice = ice_advection(ice.hice, uice, vice, self.ocean.g,
-                                     dts, self.cfg.ice.niats, embm.cyclic)
-                aice = ice_advection(ice.aice, uice, vice, self.ocean.g,
-                                     dts, self.cfg.ice.niats, embm.cyclic)
-                hsno = ice_advection(ice.hsno, uice, vice, self.ocean.g,
-                                     dts, self.cfg.ice.niats, embm.cyclic)
+                if use_cpts:
+                    # advect the full thickness distribution, ridge under
+                    # convergence, re-bin (adv_ridge_cpts, cpts.F:579-675)
+                    from ..ops import stencil as _st
+                    g = self.ocean.g
+                    cpts_st = cpts_mod.cpts_advect(
+                        cpts_st, uice, vice, g, dts,
+                        self.cfg.ice.niats, embm.cyclic)
+                    ue = 0.5 * (uice + _st.S(uice))
+                    vn = 0.5 * (vice + _st.W(vice))
+                    vnc = vn * g.csu[:, None]
+                    divu = g.cstr[:, None] * (
+                        (ue - _st.W(ue)) * 2.0 * g.dxt2r[None, :]
+                        + (vnc - _st.S(vnc)) * 2.0 * g.dyt2r[:, None])
+                    cpts_st = cpts_mod.ridge(cpts_st, divu, dts,
+                                             self._cpts_hstar)
+                    cpts_st = cpts_mod.rebin(cpts_st, self._cpts_hstar)
+                    hice, aice, hsno, _ = cpts_mod.aggregate(cpts_st)
+                else:
+                    hice = ice_advection(ice.hice, uice, vice,
+                                         self.ocean.g, dts,
+                                         self.cfg.ice.niats, embm.cyclic)
+                    aice = ice_advection(ice.aice, uice, vice,
+                                         self.ocean.g, dts,
+                                         self.cfg.ice.niats, embm.cyclic)
+                    hsno = ice_advection(ice.hsno, uice, vice,
+                                         self.ocean.g, dts,
+                                         self.cfg.ice.niats, embm.cyclic)
                 aice = jnp.clip(aice, 0.0, 1.0)
                 hice = jnp.maximum(hice, 0.0)
                 hsno = jnp.maximum(hsno, 0.0)
@@ -198,6 +236,30 @@ class CoupledModel:
                 solins_a, embm.aca, wspd_a, embm.elev, embm.tmsk,
                 fl["dnswr"], fl["uplwr"], fl["upsens"], fl["upltnt"],
                 fl["evap"], dts, float(self.grid.zw[0]))
+            if use_cpts:
+                # multi-category thermodynamics over ocean cells replaces
+                # the 0-layer result; land-snow branch stays from therm.F
+                tm = embm.tmsk
+                cpts_st, cflx, cadj, _ = cpts_mod.cpts_thermo(
+                    cpts_st, atm.at[0], atm.at[1], sst, frzpt,
+                    solins_a, embm.aca, wspd_a, tm, dts,
+                    self._cpts_saltz, self._cpts_hstar,
+                    fl["dnswr"], fl["uplwr"], fl["upsens"],
+                    fl["upltnt"], fl["evap"])
+                cpts_st = cpts_mod.rebin(cpts_st, self._cpts_hstar)
+                flx = {k: tm * cflx[k] + (1.0 - tm) * flx[k] for k in cflx}
+                oadj = dict(
+                    heat=tm * cadj["heat"]
+                    + (1.0 - tm) * oadj["heat"],
+                    freshwater=tm * cadj["freshwater"]
+                    + (1.0 - tm) * oadj["freshwater"])
+                hice_c, aice_c, hsno_c, tice_c = cpts_mod.aggregate(cpts_st)
+                ice = ice.replace(
+                    hice=tm * hice_c + (1.0 - tm) * ice.hice,
+                    aice=tm * jnp.clip(aice_c, 0.0, 1.0)
+                    + (1.0 - tm) * ice.aice,
+                    hsno=tm * hsno_c + (1.0 - tm) * ice.hsno,
+                    tice=tm * tice_c + (1.0 - tm) * ice.tice)
             dnswr, uplwr = flx["dnswr"], flx["uplwr"]
             upsens, upltnt = flx["upsens"], flx["upltnt"]
             evap = flx["evap"]
@@ -227,6 +289,12 @@ class CoupledModel:
             psno = jnp.where(ice.hsno < hsno_max, psno, 0.0)
             psno_eff = psno * jnp.where(embm.tmsk > 0, ice.aice, 1.0)
             ice = ice.replace(hsno=ice.hsno + fc * psno_eff)
+            if use_cpts:
+                # distribute snowfall over categories by area fraction
+                atot = jnp.maximum(cpts_st.A.sum(0), 1e-10)
+                cpts_st = cpts_st.replace(
+                    hseff=cpts_st.hseff + fc * psno_eff * embm.tmsk
+                    * cpts_st.A / atot)
             psno = psno_eff
 
         # ---- temperature transport -----------------------------------
@@ -263,7 +331,7 @@ class CoupledModel:
             wspd=dts * wspd_a,
             time=dts,
         )
-        return new_atm, ice, acc
+        return new_atm, ice, acc, cpts_st
 
     # ------------------------------------------------------------------
     def gosbc(self, acc, state: CoupledState, sst, sss, swr_mean):
@@ -343,12 +411,13 @@ class CoupledModel:
             solins = daily_insolation(self.tlat_rad2d, day, yrlen)
 
         acc = None
+        cpts_st = state.cpts
         for _ in range(self.ntspas):
             mixing = bool(atm.nats + 1 > self.cfg.embm.namix)
-            atm, ice, a = self._atm_ice_step(
+            atm, ice, a, cpts_st = self._atm_ice_step(
                 atm, ice, sst, frzpt, uocn, vocn,
                 jnp.asarray(self.anthro, sst.dtype), wind_pkg, solins,
-                mixing=mixing)
+                cpts_st, mixing=mixing)
             if acc is None:
                 acc = a
             else:
@@ -370,7 +439,7 @@ class CoupledModel:
             land, _ = triffid_update(land, self.embm.lmsk, gamma)
 
         state = CoupledState(ocean=state.ocean, atm=atm, ice=ice,
-                             land=land, sed=state.sed)
+                             land=land, sed=state.sed, cpts=cpts_st)
         forcing = self.gosbc(acc, state, sst, sss, swr_mean)
 
         # ---- sediment step (sed.F, per dtsed ~ segment) ---------------
@@ -404,7 +473,7 @@ class CoupledModel:
             leapfrog = (int(ocean.itt) % self.cfg.ocean.nmix) != 0
             ocean = self.ocean.step(ocean, forcing, leapfrog=leapfrog)
         return CoupledState(ocean=ocean, atm=atm, ice=ice, land=land,
-                            sed=state.sed)
+                            sed=state.sed, cpts=cpts_st)
 
     def set_transient_forcing(self, transient=None):
         """Enable transient forcing (co2data/solardata/... readers)."""
