@@ -8,12 +8,16 @@ updates per second) plus model-years/day.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-vs_baseline compares against BASELINE_FORTRAN_GPS, a *derived estimate*
-of single-core Fortran throughput for the reference (the repo publishes
-no numbers — BASELINE.md; the reference cannot run without its external
-input data files, so a measured Fortran baseline is future work).  The
-estimate assumes ~10M cell-tracer stencil updates/s for -O3 compiled
-Fortran on one modern core, the right order for this class of code.
+vs_baseline compares against a MEASURED single-core CPU baseline:
+golden/c_baseline/tracer_baseline.c, a C implementation of the
+reference's per-step work (EOS + FCT tracer update + invtri + convect +
+clinic + barotropic CG) with the reference's loop structure, compiled
+gcc -O3 -march=native and timed on this machine (the image has no
+Fortran compiler, so the reference Fortran itself cannot be built —
+BASELINE.md documents the methodology).  Best-of-3 on one Xeon
+2.10 GHz core, 2026-08: nt=2 -> 1.44e7, nt=39 -> 4.03e7
+cell-tracer-updates/s.  The nt=39 figure is the denominator for the
+MOBI headline (generous to the reference: best observed run).
 """
 
 import json
@@ -22,7 +26,20 @@ import time
 
 import numpy as np
 
-BASELINE_FORTRAN_GPS = 1.0e7  # derived estimate, see module docstring
+BASELINE_C_GPS = {2: 1.44e7, 39: 4.03e7}  # measured, see module docstring
+
+
+def _baseline_gps(nt):
+    """Interpolate the measured single-core baseline to this nt (fixed
+    per-step costs amortize over tracers, so gps grows with nt)."""
+    lo_nt, hi_nt = 2, 39
+    lo, hi = BASELINE_C_GPS[lo_nt], BASELINE_C_GPS[hi_nt]
+    if nt <= lo_nt:
+        return lo
+    if nt >= hi_nt:
+        return hi
+    w = (nt - lo_nt) / (hi_nt - lo_nt)
+    return lo + w * (hi - lo)
 
 
 def _enable_compile_cache():
@@ -85,7 +102,8 @@ def main(nsteps=20, dtype="float32"):
                   f"full MOBI nt={head_nt}, {jax.devices()[0].platform})",
         "value": round(head_gps, 1),
         "unit": "cell-tracer-updates/s",
-        "vs_baseline": round(head_gps / BASELINE_FORTRAN_GPS, 3),
+        "vs_baseline": round(head_gps / _baseline_gps(head_nt), 3),
+        "baseline_gps_measured_c": _baseline_gps(head_nt),
         **extras,
     }))
 

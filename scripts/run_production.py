@@ -1,0 +1,64 @@
+"""CLI production run: N model years of the coupled model with the
+full observability loop (tsi stream, tavg netCDF, restarts, audits).
+
+Usage:
+    python scripts/run_production.py [--years N] [--outdir DIR]
+        [--bgc none|npzd|mobi] [--dtype float32|float64] [--restart]
+
+Reference analog: submitting run/mk-built UVic with control.in's
+runlen/segtim and the &diagn intervals (UVic_ESCM.F:296-416).
+"""
+
+import argparse
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--years", type=float, default=1.0)
+    ap.add_argument("--outdir", default="run_out")
+    ap.add_argument("--bgc", default="none",
+                    choices=["none", "npzd", "mobi"])
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--restart", action="store_true",
+                    help="resume from OUTDIR/restart.npz")
+    ap.add_argument("--tsiint", type=float, default=10.0)
+    ap.add_argument("--timavgint", type=float, default=360.0)
+    ap.add_argument("--restint", type=float, default=360.0)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    from uvic_tpu.config import ModelConfig, mobi_full
+    from uvic_tpu.coupler.driver import CoupledModel
+    from uvic_tpu.coupler.run import Run
+
+    cfg = ModelConfig().replace(dtype=args.dtype)
+    cfg = cfg.replace(time=dataclasses.replace(
+        cfg.time, tsiint=args.tsiint, timavgint=args.timavgint,
+        restint=args.restint))
+    if args.bgc == "mobi":
+        cfg = cfg.replace(bgc=mobi_full())
+    elif args.bgc == "npzd":
+        from uvic_tpu.config import BgcConfig
+        cfg = cfg.replace(bgc=BgcConfig(
+            suite="npzd", carbon=True, alk=True, o2=True, nitrogen=True))
+
+    model = CoupledModel(cfg)
+    run = Run(model, args.outdir, log=lambda m: print(m, flush=True))
+    state = model.init_state()
+    if args.restart:
+        state = run.load(state)
+        print(f"resumed at {run.tm.stamp()}")
+
+    yrlen = 360.0 if cfg.time.eqyear else 365.0
+    t0 = time.perf_counter()
+    state = run.run(state, days=args.years * yrlen)
+    wall = time.perf_counter() - t0
+    print(f"done: {args.years} model years in {wall:.1f}s wall "
+          f"({args.years / (wall / 86400.0):.1f} model-years/day)")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

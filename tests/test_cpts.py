@@ -116,6 +116,68 @@ def test_remap_layers_conserves_energy():
                                rtol=1e-10)
 
 
+def test_bottom_congelation_without_open_water():
+    """Cold ice over full cover must grow from below (condb > fbot).
+
+    Regression for the condb sign inversion: with a=1 there is no
+    open-water frazil to mask the loss of congelation growth."""
+    st, S = _mk_state(a=1.0, hi=50.0)
+    new, _, _, _ = _thermo(st, tair=-30.0, sst=-1.8)
+    assert float(new.heff[0].sum()) > float(st.heff[0].sum())
+
+
+def test_surface_equilibrium_fixed_point():
+    """At an exact conductive equilibrium the Ts solve must not move.
+
+    Regression for the linearized surface-balance sign error (starting
+    at equilibrium Ts=-20 the broken solve jumped to ~-0.1C)."""
+    Ts = jnp.full((3,), -20.0)
+    T1 = jnp.full((3,), -15.0)
+    Ti = jnp.stack([T1, jnp.full((3,), -10.0), jnp.full((3,), -6.0),
+                    jnp.full((3,), -3.0)], axis=-1)
+    hi = jnp.full((3,), 100.0)
+    hs = jnp.zeros((3,))
+    saltz = jnp.asarray(cpts.salinity_profile(4))
+    # conductive flux out of the surface at equilibrium
+    ki = cpts._conductivity(Ti, saltz)
+    dz = hi / 4.0
+    k_top = 1.0 / (dz * 0.5 / ki[..., 0])
+    fcond = k_top * (Ts - T1)           # negative (heat up out of ice)
+    F0 = fcond                           # atm net flux into sfc balances
+    dfnet = jnp.full((3,), -3.0e3)       # typical negative sensitivity
+    tbot = jnp.full((3,), -1.8)
+    has = jnp.ones((3,), bool)
+    Ts_n, Ti_n, fct, cb = cpts._vertical_solve(
+        Ts, Ti, hi, hs, saltz, -F0, dfnet, 0.0 * Ts, tbot, 1.0, 4, has)
+    # one short implicit step from equilibrium: Ts must stay near -20,
+    # absolutely not collapse toward 0
+    assert float(jnp.abs(Ts_n - Ts).max()) < 2.0
+
+
+def test_flooding_conserves_column_energy():
+    """Snow-to-ice flooding must conserve ice+snow latent energy."""
+    nlay = 4
+    st = cpts.init_cpts_state(1, nlay, 4, 4, jnp.float64)
+    S = cpts.salinity_profile(nlay)
+    hi, hs, a = 40.0, 30.0, 1.0      # heavy snow load -> floods
+    q = np.asarray(cpts.energy_of_melt(jnp.full((nlay,), -4.0),
+                                       jnp.asarray(S)))
+    A = jnp.ones((1, 4, 4)) * a
+    st = st.replace(A=A, heff=A * hi, hseff=A * hs,
+                    Ts=jnp.full((1, 4, 4), -5.0),
+                    E=jnp.broadcast_to((q * hi * a / nlay)[None, :, None,
+                                                           None],
+                                       (1, nlay, 4, 4)))
+    new, fl, adj, _ = _thermo(st, tair=-10.0, sst=-1.8, dts=1.0)
+    # tiny dts: growth/melt negligible, but flooding is instantaneous.
+    # total latent+sensible content: E counts ice; snow counts -RFLSNO*hs
+    e0 = float(st.E.sum()) - cpts.RFLSNO * float(st.hseff.sum())
+    e1 = float(new.E.sum()) - cpts.RFLSNO * float(new.hseff.sum())
+    # flooding happened
+    assert float(new.hseff.sum()) < float(st.hseff.sum()) - 1.0
+    assert abs(e1 - e0) / abs(e0) < 5e-3
+
+
 def test_aggregate_matches_totals():
     st, S = _mk_state()
     hice, aice, hsno, tice = cpts.aggregate(st)

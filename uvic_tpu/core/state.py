@@ -43,6 +43,9 @@ class OceanState:
     ubarm1: jnp.ndarray
     # step counter
     itt: jnp.ndarray
+    # cumulative barotropic-solver non-convergence count (tropic.F
+    # nconv; the run aborts when it exceeds 50)
+    nconv: jnp.ndarray = None
 
 
 def init_ocean_state(nt: int, km: int, jmt: int, imt: int, dtype,
@@ -63,4 +66,5 @@ def init_ocean_state(nt: int, km: int, jmt: int, imt: int, dtype,
         ubar=jnp.zeros((2, jmt, imt), dtype=dtype),
         ubarm1=jnp.zeros((2, jmt, imt), dtype=dtype),
         itt=jnp.zeros((), dtype=jnp.int32),
+        nconv=jnp.zeros((), dtype=jnp.int32),
     )

@@ -190,14 +190,16 @@ class CoupledModel:
         use_cpts = self.cfg.ice.cpts > 0 and cpts_st is not None
         if use_cpts:
             from ..models.ice import cpts as cpts_mod
+        xint = yint = None
         if self.cfg.ice.enabled:
             if self.cfg.ice.evp:
-                uice, vice = evp_dynamics(
+                uice, vice, sig_n, xint, yint = evp_dynamics(
                     ice.uice[0], ice.uice[1], ice.hice, ice.aice,
                     embm.tmsk, self.umsk, self.fcor_u,
                     taux_w, tauy_w, uocn, vocn,
                     self.ocean.g, cfg.dtatm, self.cfg.ice.ndte,
-                    embm.cyclic)
+                    embm.cyclic, sig_in=ice.sig)
+                ice = ice.replace(sig=sig_n)
                 if use_cpts:
                     # advect the full thickness distribution, ridge under
                     # convergence, re-bin (adv_ridge_cpts, cpts.F:579-675)
@@ -320,13 +322,20 @@ class CoupledModel:
         ocean_msk = embm.tmsk
         # route land runoff to ocean discharge cells (rivmodel)
         disch = self.rivers.discharge(runoff * embm.lmsk)
+        # ocean-surface stress: wind stress plus, where moving ice is
+        # present, the ice internal stress divergence (embm.F:188-201
+        # flux(nat+1) += dts*(sbc(itaux) + xint) over U cells)
+        taux_o, tauy_o = taux_w, tauy_w
+        if xint is not None:
+            taux_o = taux_w + xint * self.umsk
+            tauy_o = tauy_w + yint * self.umsk
         acc = dict(
             heat=dts * (dnswr - uplwr - upltnt - upsens) * ocean_msk
             + oadj["heat"],
             freshwater=dts * (precip - evap - psno + disch) * ocean_msk
             + oadj["freshwater"],
-            taux=dts * taux_w,
-            tauy=dts * tauy_w,
+            taux=dts * taux_o,
+            tauy=dts * tauy_o,
             swr=dts * dnswr,
             wspd=dts * wspd_a,
             time=dts,
@@ -334,10 +343,13 @@ class CoupledModel:
         return new_atm, ice, acc, cpts_st
 
     # ------------------------------------------------------------------
-    def gosbc(self, acc, state: CoupledState, sst, sss, swr_mean):
+    def gosbc(self, acc, state: CoupledState, sst, sss, swr_mean,
+              sed_flux=None):
         """Accumulated fluxes -> ocean forcing (gosbc.F:66-145), plus
         gas-exchange and normalized virtual fluxes for the bgc tracers
-        (gasbc.F:310-470, gosbc.F:310-365)."""
+        (gasbc.F:310-470, gosbc.F:310-365).  sed_flux: dict of sediment
+        dissolution fluxes [umol/cm^2/s, positive into the ocean] that
+        enter the BOTTOM-cell tracer flux (tracer.F sed block)."""
         from ..models.ocean.model import make_forcing
 
         atatm = acc["time"]
@@ -379,9 +391,18 @@ class CoupledModel:
             virt = virt.at[0].set(0.0).at[1].set(0.0)
             stf = (stf + gflux + virt) * tmsk[None]
 
+        btf = None
+        if sed_flux is not None:
+            # kernel sign convention: btf NEGATIVE = upward flux into
+            # the bottom cell (1 umol/cm^2/s == 1 (mol/m^3)(cm/s))
+            btf = jnp.zeros((nt,) + hflx.shape, hflx.dtype)
+            btf = btf.at[idx.idic].add(-sed_flux["dic"])
+            if "alk" in idx:
+                btf = btf.at[idx.ialk].add(-sed_flux["alk"])
+
         return make_forcing(smf, stf, swr=swr_mean, aice=state.ice.aice,
                             hice=state.ice.hice, hsno=state.ice.hsno,
-                            relyr=self.relyr)
+                            relyr=self.relyr, btf=btf)
 
     # ------------------------------------------------------------------
     def run_segment(self, state: CoupledState) -> CoupledState:
@@ -440,10 +461,12 @@ class CoupledModel:
 
         state = CoupledState(ocean=state.ocean, atm=atm, ice=ice,
                              land=land, sed=state.sed, cpts=cpts_st)
-        forcing = self.gosbc(acc, state, sst, sss, swr_mean)
 
         # ---- sediment step (sed.F, per dtsed ~ segment) ---------------
+        # runs BEFORE gosbc so the dissolution return flux enters this
+        # segment's bottom-cell tracer forcing (tracer.F sed block)
         sed = state.sed
+        sfl = None
         if sed is not None and "dic" in self.ocean.tracer_index:
             from ..models.bgc.gasx import co2calc_sws
             from ..models.sed.sediment import sed_step
@@ -462,11 +485,9 @@ class CoupledModel:
             seg_s = self.cfg.time.segtim_days * 86400.0
             sed, sfl = sed_step(sed, carb["co3"] * 1e-3, depth,
                                 self.embm.tmsk, seg_s)
-            # dissolved return flux enters the bottom-cell forcing as an
-            # addition to the surface-referenced stf would be wrong; the
-            # reference adds it as a bottom source (tracer.F sed block).
-            # Here it enters the virtual-flux slot for the next segment.
             state = state.replace(sed=sed)
+
+        forcing = self.gosbc(acc, state, sst, sss, swr_mean, sed_flux=sfl)
 
         ocean = state.ocean
         for _ in range(self.ntspos):

@@ -44,6 +44,13 @@ def build_registry(bgc: BgcConfig) -> List[Tracer]:
         tr.append(Tracer("phyt", "mmol m-3", 0.14, True, False))
         tr.append(Tracer("zoop", "mmol m-3", 0.014, True, False))
         tr.append(Tracer("detr", "mmol m-3", 1.0e-4, True, False))
+        if bgc.suite == "mobi":
+            # variable-stoichiometry P quotas (updates/10 size.h:
+            # "+2 ! phyt_phos, detr_phos"); init at Redfield P:N=1/16
+            tr.append(Tracer("phyt_phos", "mmol P m-3", 0.14 / 16.0,
+                             True, False))
+            tr.append(Tracer("detr_phos", "mmol P m-3", 1.0e-4 / 16.0,
+                             True, False))
         if bgc.nitrogen:
             tr.append(Tracer("no3", "mmol m-3", 5.0, True, False))
             tr.append(Tracer("diaz", "mmol m-3", 0.014, True, False))
@@ -74,20 +81,25 @@ def build_registry(bgc: BgcConfig) -> List[Tracer]:
                 tr.append(Tracer("diatn15", "mmol m-3",
                                  0.07 * 0.0036765, True, False))
         if bgc.carbon and bgc.carbon_13:
+            # organic c13 pools carry mol C m-3 = pool_N * redctn * R
+            # (rt*13 ratio definitions, mobi.F:2635-2665: rtphytc13 =
+            # phytc13/(phyt*redctn) with redctn ~ 7.1e-3 mol C/mmol N)
+            rc = 7.1e-3 * 0.011
             for name, base in (("phytc13", 0.14), ("zoopc13", 0.014),
                                ("detrc13", 1e-4)):
-                tr.append(Tracer(name, "mmol m-3", base * 7 * 0.011,
+                tr.append(Tracer(name, "mol C m-3", base * rc,
                                  True, False))
             if bgc.caco3:
-                tr.append(Tracer("caco3c13", "mmol m-3", 1e-5, True,
-                                 False))
+                # caco3c13/caco3 is a direct ratio (mobi.F:2657)
+                tr.append(Tracer("caco3c13", "mmol m-3", 1e-3 * 0.011,
+                                 True, False))
             if bgc.silicon:
-                tr.append(Tracer("diatc13", "mmol m-3",
-                                 0.07 * 7 * 0.011, True, False))
+                tr.append(Tracer("diatc13", "mol C m-3",
+                                 0.07 * rc, True, False))
             if bgc.nitrogen:
-                tr.append(Tracer("diazc13", "mmol m-3",
-                                 0.014 * 7 * 0.011, True, False))
-                tr.append(Tracer("doc13", "mmol m-3", 0.2 * 7 * 0.011,
+                tr.append(Tracer("diazc13", "mol C m-3",
+                                 0.014 * rc, True, False))
+                tr.append(Tracer("doc13", "mol C m-3", 0.2 * rc,
                                  True, False))
         if bgc.pa_th:
             tr.append(Tracer("pa231", "dpm m-3", 1e-3, True, False))

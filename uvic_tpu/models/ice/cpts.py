@@ -166,13 +166,13 @@ def _vertical_solve(Ts, Ti, hi, hs, saltz, fnet0, dfnet_dts, io_pen,
             jnp.minimum(Ti_c, -TINY) * jnp.minimum(Ti, -TINY))
         rho_cp_dz = cp_eff * dz[..., None]
 
-        # assemble tridiagonal for Ti (Ts eliminated via surface balance:
-        # fnet(Ts) = fcond(Ts) => Ts = (fnet0 + dfnet*Ts0_term...)), do the
-        # standard elimination: surface balance fnet0 + dfnet*(Ts-Ts_in)
-        # = k_top*(Ts - T1)  =>  Ts = (k_top*T1 - fnet0 + dfnet*Ts_in)
-        #                              / (k_top - dfnet)
+        # assemble tridiagonal for Ti with Ts eliminated via the surface
+        # balance.  With F0 the net flux INTO the surface at the entering
+        # Ts (the caller passes fnet0 = -F0):
+        #   F0 + dfnet*(Ts - Ts_in) = k_top*(Ts - T1)
+        #   =>  Ts = (k_top*T1 + F0 - dfnet*Ts_in) / (k_top - dfnet)
         denom = k_top - dfnet_dts
-        ts_new = (k_top * Ti_c[..., 0] - fnet0 + dfnet_dts * Ts) / (
+        ts_new = (k_top * Ti_c[..., 0] - fnet0 - dfnet_dts * Ts) / (
             denom + EPSLN)
         ts_new = jnp.minimum(ts_new, melt_ts)
         # effective top coupling after elimination (Dirichlet in Ts)
@@ -215,7 +215,10 @@ def _vertical_solve(Ts, Ti, hi, hs, saltz, fnet0, dfnet_dts, io_pen,
     k_top = 1.0 / (dz[..., None] * 0.5 / ki[..., :1]
                    + (hs / KAPPAS)[..., None])[..., 0]
     fcond_top = k_top * (Ts_n - Ti_n[..., 0])     # into the interior
-    condb = 2.0 * ki[..., -1] / dz * (Ti_n[..., -1] - tbot)  # toward ocean
+    # conductive flux up through the bottom interface (cpts.F:2652
+    # convention: positive when the ice is colder than the water, which
+    # is the congelation-growth direction)
+    condb = 2.0 * ki[..., -1] / dz * (tbot - Ti_n[..., -1])
     Ts_n = jnp.where(has_ice, Ts_n, tbot)
     Ti_n = jnp.where(has_ice[..., None], Ti_n, tbot[..., None])
     return Ts_n, Ti_n, jnp.where(has_ice, fcond_top, 0.0), \
@@ -226,18 +229,20 @@ def _vertical_solve(Ts, Ti, hi, hs, saltz, fnet0, dfnet_dts, io_pen,
 # conservative layer remapping after growth/melt (adjust, cpts.F:411-531)
 # ---------------------------------------------------------------------------
 
-def _remap_layers(q, hi_old, dht, dhb, q_new_bot, nlay):
+def _remap_layers(q, hi_old, dht, dhb, q_new_bot, nlay, q_new_top=None):
     """Remap per-volume energies q (..., nlay) after the column changed by
-    dht at the top (<=0, melt) and dhb at the bottom (growth>0 with new-ice
-    energy q_new_bot, or melt<0).  Returns (q_new, hi_new), conserving
-    total column energy exactly (the overlap integral is exact for
-    piecewise-constant layer energies)."""
+    dht at the top (melt<0, or flood growth>0 with energy q_new_top) and
+    dhb at the bottom (growth>0 with new-ice energy q_new_bot, or melt<0).
+    Returns (q_new, hi_new), conserving total column energy exactly (the
+    overlap integral is exact for piecewise-constant layer energies)."""
     hi_new = jnp.maximum(hi_old + dht + dhb, 0.0)
-    # old material occupies [(-dht), hi_old] in old coordinates; grown ice
-    # occupies [hi_old, hi_old+dhb] with energy q_new_bot.  Express the new
-    # uniform grid in old coordinates, origin at the new top surface:
+    # old material occupies [0, hi_old] in old coordinates; grown bottom
+    # ice occupies [hi_old, hi_old+dhb] with energy q_new_bot; flooded top
+    # ice (dht>0) occupies [-dht, 0] with energy q_new_top.  Express the
+    # new uniform grid in old coordinates, origin at the new top surface:
     top_off = -dht                                # new top in old coords
     grow = jnp.maximum(dhb, 0.0)
+    grow_t = jnp.maximum(dht, 0.0)
     bot_edge = hi_old + jnp.minimum(dhb, 0.0)     # bottom melt trims
     lay = jnp.arange(nlay + 1, dtype=q.dtype)
     new_edges = top_off[..., None] + hi_new[..., None] * lay / nlay
@@ -250,12 +255,18 @@ def _remap_layers(q, hi_old, dht, dhb, q_new_bot, nlay):
     orr = jnp.minimum(old_edges[..., None, 1:], bot_edge[..., None, None])
     ov = jnp.maximum(jnp.minimum(nr, orr) - jnp.maximum(nl, ol), 0.0)
     e_from_old = jnp.einsum("...km,...m->...k", ov, q)
-    # overlap with the grown slab [hi_old, hi_old+grow]
+    # overlap with the grown bottom slab [hi_old, hi_old+grow]
     gl = hi_old[..., None]
     gr = (hi_old + grow)[..., None]
     ovg = jnp.maximum(jnp.minimum(nr[..., 0], gr) - jnp.maximum(nl[..., 0], gl),
                       0.0)
     e_new = e_from_old + ovg * q_new_bot[..., None]
+    if q_new_top is not None:
+        # overlap with the flooded top slab [-grow_t, 0]
+        tl = (-grow_t)[..., None]
+        ovt = jnp.maximum(jnp.minimum(nr[..., 0], 0.0)
+                          - jnp.maximum(nl[..., 0], tl), 0.0)
+        e_new = e_new + ovt * q_new_top
     dz_new = jnp.maximum(hi_new[..., None] / nlay, EPSLN)
     return e_new / dz_new, hi_new
 
@@ -339,28 +350,36 @@ def cpts_thermo(st: CptsState, atm_sat, atm_shum, sst, frzpt,
     q_top = jnp.moveaxis(q, 1, -1)[..., 0]
     dht = -fmelt_i * dts / jnp.maximum(-q_top, RFLICE * 0.05)
     dht = jnp.maximum(dht, -hi)
-    # sublimation from the latent flux
+    # sublimation from the latent flux: snow sublimates first; only the
+    # mass remainder not satisfied by snow comes out of the ice, so the
+    # ice/freshwater budget counts each sublimated gram once
     sub = jnp.where(qice_n > qair, C.DALT_I * wspd * (qice_n - qair), 0.0)
-    sub_h = dts * C.RHOATM / C.RHOICE * sub
-    dhs_sub = -jnp.minimum(dts * C.RHOATM / C.RHOSNO * sub, hs + dhs_melt)
-    dht = jnp.where(hs + dhs_melt + dhs_sub <= TINY,
-                    jnp.maximum(dht - sub_h, -hi), dht)
-    dhs = dhs_melt + jnp.where(hs + dhs_melt > TINY, dhs_sub, 0.0)
+    sub_mass = dts * C.RHOATM * sub                       # [g/cm^2]
+    dhs_sub = -jnp.minimum(sub_mass / C.RHOSNO,
+                           jnp.maximum(hs + dhs_melt, 0.0))
+    sub_h_ice = jnp.maximum(sub_mass - (-dhs_sub) * C.RHOSNO,
+                            0.0) / C.RHOICE
+    dht = jnp.maximum(dht - sub_h_ice, -hi)
+    dhs = dhs_melt + dhs_sub
     dhb = jnp.maximum(dhb, -(hi + dht))
 
     q_re, hi_n = _remap_layers(jnp.moveaxis(q, 1, -1), hi, dht, dhb,
                                q_new, nlay)
     hs_n = jnp.maximum(hs + dhs, 0.0)
 
-    # flooding: snow below the waterline converts to ice (cpts.F adjust)
+    # flooding: snow below the waterline converts to ice (cpts.F adjust /
+    # freeboard).  Mass conversion dhi_f = dhf*rho_s/rho_i carries the
+    # snow's latent heat: per-volume melt energy of the flood ice is
+    # q_flood = -RFLSNO*dhf/dhi_f = -RFLICE exactly (fresh ice at the
+    # melting point), so the column energy budget closes with no ocean
+    # heat adjustment term.
     zintfc = hi_n - (C.RHOSNO * hs_n + C.RHOICE * hi_n) / C.RHOOCN
     dhf = jnp.where(zintfc < 0.0,
                     jnp.minimum(-zintfc * C.RHOICE / C.RHOSNO, hs_n), 0.0)
     hs_n = hs_n - dhf
     dhi_f = dhf * C.RHOSNO / C.RHOICE
-    q_re, hi_n = _remap_layers(q_re, hi_n, dhi_f * 0.0 + 0.0, 0.0 * dhi_f,
-                               q_new, nlay)  # profile unchanged by flood top
-    hi_n = hi_n + dhi_f
+    q_re, hi_n = _remap_layers(q_re, hi_n, dhi_f, 0.0 * dhi_f,
+                               q_new, nlay, q_new_top=-RFLICE)
 
     # lateral melt (Maykut & Perovich, thermo.h:70-75)
     rside = jnp.clip(M1_LAT * jnp.maximum(sst - frzpt, 0.0)[None] ** M2_LAT
@@ -395,8 +414,13 @@ def cpts_thermo(st: CptsState, atm_sat, atm_shum, sst, frzpt,
         + dts * C.RHOATM * (A * sub).sum(0)
 
     aice_tot = jnp.clip(A_n.sum(0), 0.0, 1.0)
-    ao = 1.0 - A.sum(0)
-    wsum = jnp.where(has, A, 0.0)
+    # blended fluxes must be a convex combination: clip open water at 0
+    # and renormalize the category weights if advection/pre-ridging left
+    # the total area above 1
+    asum = A.sum(0)
+    norm = jnp.where(asum > 1.0, 1.0 / jnp.maximum(asum, TINY), 1.0)
+    ao = jnp.clip(1.0 - asum, 0.0, 1.0)
+    wsum = jnp.where(has, A, 0.0) * norm
     blend = lambda f_ice, f_ow: (wsum * f_ice).sum(0) + ao * f_ow
     fluxes = dict(
         dnswr=blend(dswr, dnswr_ow),

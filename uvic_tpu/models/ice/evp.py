@@ -37,8 +37,16 @@ def SW(a):
 
 
 def evp_dynamics(uice, vice, hice, aice, tmsk, umsk, fcor,
-                 taux, tauy, uocn, vocn, g, dtatm, ndte, cyclic=True):
-    """Run one EVP dynamics step (evp.F `evp`): returns (uice, vice).
+                 taux, tauy, uocn, vocn, g, dtatm, ndte, cyclic=True,
+                 sig_in=None):
+    """Run one EVP dynamics step (evp.F `evp`).
+
+    Returns (uice, vice, sig_out, xint, yint): the velocities, the
+    (4, 3, jmt, imt) triangle stress tensor carried ACROSS steps (the
+    reference keeps sig11n..sig12w in evp.h between calls — the elastic
+    closure needs the stress memory), and the internal ice stress
+    divergence (xint/yint, evp.F:632-633) that sum_flux adds to the
+    ocean-surface stress where ice is present (embm.F:188-201).
 
     uice/vice : (jmt, imt) ice velocity at U points
     hice/aice : T-cell mean thickness / area fraction (time level 2)
@@ -46,6 +54,7 @@ def evp_dynamics(uice, vice, hice, aice, tmsk, umsk, fcor,
     fcor      : Coriolis parameter at U points
     taux/tauy : wind stress on ice at U points [g/cm/s^2]
     uocn/vocn : surface geostrophic ocean currents at U points [cm/s]
+    sig_in    : optional (4, 3, jmt, imt) stress state from the last step
     """
     dte = dtatm / float(ndte)
     dtei = 1.0 / dte
@@ -152,7 +161,7 @@ def evp_dynamics(uice, vice, hice, aice, tmsk, umsk, fcor,
 
     # ---- subcycles: stressevp + stepu (evp.F:36-41,303-447,537-653) --
     def subcycle(k, carry):
-        u, v, sig = carry
+        u, v, sig, _, _ = carry
         du = dict(n=u - W(u), s=S(u) - SW(u), e=u - S(u), w=W(u) - SW(u))
         dv = dict(n=v - W(v), s=S(v) - SW(v), e=v - S(v), w=W(v) - SW(v))
         cc = 0.5 * edy * (du["e"] + du["w"])
@@ -212,10 +221,15 @@ def evp_dynamics(uice, vice, hice, aice, tmsk, umsk, fcor,
         v_new = (cca * c2 - ccb * c1) / ab2 * active_u
         u_new = setbcx(u_new, cyclic).at[0, :].set(0.0).at[-1, :].set(0.0)
         v_new = setbcx(v_new, cyclic).at[0, :].set(0.0).at[-1, :].set(0.0)
-        return u_new, v_new, sig
+        return u_new, v_new, sig, xint * active_u, yint * active_u
 
     z = jnp.zeros_like(uice)
-    sig0 = {t: (z, z, z) for t in ("n", "e", "s", "w")}
-    u_fin, v_fin, _ = jax.lax.fori_loop(
-        0, ndte, subcycle, (uice, vice, sig0))
-    return u_fin, v_fin
+    if sig_in is None:
+        sig0 = {t: (z, z, z) for t in ("n", "e", "s", "w")}
+    else:
+        sig0 = {t: (sig_in[i, 0], sig_in[i, 1], sig_in[i, 2])
+                for i, t in enumerate(("n", "e", "s", "w"))}
+    u_fin, v_fin, sig_f, xint_f, yint_f = jax.lax.fori_loop(
+        0, ndte, subcycle, (uice, vice, sig0, z, z))
+    sig_out = jnp.stack([jnp.stack(sig_f[t]) for t in ("n", "e", "s", "w")])
+    return u_fin, v_fin, sig_out, xint_f, yint_f

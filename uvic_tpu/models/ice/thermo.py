@@ -28,12 +28,17 @@ class IceState:
     hsno: jnp.ndarray    # snow thickness [cm]
     tice: jnp.ndarray    # ice/snow surface temperature [C]
     uice: jnp.ndarray    # (2, jmt, imt) ice velocity [cm/s]
+    # EVP triangle stress tensor (4 triangles x {s11, s12, s22}),
+    # persistent across steps (evp.h sig11n..sig12w — the elastic
+    # closure's stress memory)
+    sig: jnp.ndarray     # (4, 3, jmt, imt)
 
 
 def init_ice_state(jmt, imt, dtype):
     z = jnp.zeros((jmt, imt), dtype=dtype)
     return IceState(hice=z, aice=z, hsno=z, tice=z,
-                    uice=jnp.zeros((2, jmt, imt), dtype=dtype))
+                    uice=jnp.zeros((2, jmt, imt), dtype=dtype),
+                    sig=jnp.zeros((4, 3, jmt, imt), dtype=dtype))
 
 
 ICE_CALB = 0.25   # UVic_ESCM.F:1579 — NOTE: reference uses *coalbedo* names
@@ -238,6 +243,7 @@ def ice_thermodynamics(ice: IceState, atm_sat, atm_shum, rh, sst, frzpt,
         hsno=ocean * hsno3 + (1 - ocean) * hsno3_l,
         tice=ocean * tice_o + (1 - ocean) * tice_l,
         uice=ice.uice,
+        sig=ice.sig,
     )
     fluxes = dict(
         dnswr=ocean * dnswr_o + (1 - ocean) * dnswr_l,

@@ -56,10 +56,14 @@ class SurfaceForcing:
     hice: jnp.ndarray = None
     hsno: jnp.ndarray = None
     relyr: jnp.ndarray = None
+    # bottom tracer fluxes (nt, jmt, imt), applied at the deepest wet
+    # cell of each column; NEGATIVE = flux upward INTO the bottom cell
+    # (sediment dissolution return, tracer.F sed bottom source)
+    btf: jnp.ndarray = None
 
 
 def make_forcing(smf, stf, swr=None, aice=None, hice=None, hsno=None,
-                 relyr=0.0):
+                 relyr=0.0, btf=None):
     """SurfaceForcing with zero-filled optional fields."""
     z = jnp.zeros_like(smf[0])
     return SurfaceForcing(
@@ -69,6 +73,7 @@ def make_forcing(smf, stf, swr=None, aice=None, hice=None, hsno=None,
         hice=z if hice is None else hice,
         hsno=z if hsno is None else hsno,
         relyr=jnp.asarray(relyr, smf.dtype),
+        btf=jnp.zeros_like(stf) if btf is None else btf,
     )
 
 
@@ -258,7 +263,8 @@ class OceanModel:
         except Exception:
             on_tpu = False
         if on_tpu and cfg.parallel.mesh_shape == (1, 1) \
-                and cfg.ocean.acor == 0.0 and not self.sp_mode:
+                and cfg.ocean.acor == 0.0 and not self.sp_mode \
+                and cfg.np_dtype == np.float32:  # Pallas TPU lowers f32 only
             from ...ops.pallas_cg import make_pallas_congrad
             from ...ops.solvers import make_inv
             pid = np.asarray(topo.perim_id)
@@ -371,7 +377,8 @@ class OceanModel:
         # surface/bottom boundary fluxes (setvbc.F)
         smf = forcing.smf * self.umask[0][None]
         stf = forcing.stf * self.tmask[0][None]
-        btf = jnp.zeros_like(stf)
+        btf = (jnp.zeros_like(stf) if forcing.btf is None
+               else forcing.btf * self.tmask[0][None])
         if cfg.cdbot != 0.0:
             kb = jnp.maximum(self.kmu - 1, 0)
             ub = jnp.take_along_axis(u_tm1, kb[None, None], axis=1)[:, 0]
@@ -497,6 +504,7 @@ class OceanModel:
                 ubar=ubar_n,
                 ubarm1=(state.ubarm1 if eb_pass == 2 else state.ubar),
                 itt=state.itt + 1,
+                nconv=_count_nconv(state.nconv, conv),
             )
 
         sf_filt = self.filt_sf
@@ -514,6 +522,7 @@ class OceanModel:
             psi0=psi0n, psi1=psi1n, ptd=ptd, ptdb=ptdb,
             ubar=state.ubar, ubarm1=state.ubarm1,
             itt=state.itt + 1,
+            nconv=_count_nconv(state.nconv, conv),
         )
 
     # ------------------------------------------------------------------
@@ -537,13 +546,15 @@ class OceanModel:
                 tm1=state.t, t=s1.t, um1=state.u, u=s1.u,
                 psi0=s1.psi0, psi1=s1.psi1,
                 ptd=s1.ptd, ptdb=state.ptdb,
-                ubar=s1.ubar, ubarm1=s1.ubarm1, itt=state.itt)
+                ubar=s1.ubar, ubarm1=s1.ubarm1, itt=state.itt,
+                nconv=s1.nconv)
         else:
             mid = OceanState(
                 tm1=state.t, t=s1.t, um1=state.u, u=s1.u,
                 psi0=s1.psi0, psi1=state.psi0,
                 ptd=state.ptd, ptdb=state.ptdb,
-                ubar=state.ubar, ubarm1=state.ubarm1, itt=state.itt)
+                ubar=state.ubar, ubarm1=state.ubarm1, itt=state.itt,
+                nconv=s1.nconv)
         s2 = self._step(mid, forcing, leapfrog=False, eb_pass=2)
         # euler_shuffle: tau-1 <- tau(original), tau <- tau+1
         return s2.replace(tm1=state.t, um1=state.u, itt=state.itt + 1)
@@ -579,6 +590,15 @@ class OceanModel:
 
             self._run_scan_cache[nsteps] = fn
         return fn(state, forcing)
+
+
+def _count_nconv(nconv, conv):
+    """Cumulative solver non-convergence counter (tropic.F:242-250
+    nconv; `Run` aborts when it exceeds 50)."""
+    if nconv is None:
+        return None
+    bad = jnp.logical_not(jnp.asarray(conv, bool)).astype(jnp.int32)
+    return nconv + bad
 
 
 def eos_state_from(c, to, so, t):
