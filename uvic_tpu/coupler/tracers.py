@@ -63,14 +63,20 @@ def build_registry(bgc: BgcConfig) -> List[Tracer]:
             tr.append(Tracer("caco3", "mmol m-3", 1e-3, True, False))
         if bgc.silicon:
             tr.append(Tracer("diat", "mmol m-3", 0.07, True, False))
-            tr.append(Tracer("sil", "mmol m-3", 30.0, True, False))
-            tr.append(Tracer("opl", "mmol m-3", 1e-3, True, False))
+            # sil/opl carried in mol Si m-3 (mobi.F:2230 k1si "mol
+            # m-3"; oplpro in "mol Si m-3 s-1", mobi_src:2692)
+            tr.append(Tracer("sil", "mol Si m-3", 0.03, True, False))
+            tr.append(Tracer("opl", "mol Si m-3", 1e-6, True, False))
         if bgc.nitrogen:
             tr.append(Tracer("dop", "mmol m-3", 0.01, True, False))
             tr.append(Tracer("don", "mmol m-3", 0.2, True, False))
         if bgc.iron:
-            tr.append(Tracer("dfe", "umol m-3", 0.6, True, False))
-            tr.append(Tracer("detrfe", "umol m-3", 1e-4, True, False))
+            # Fe in mmol Fe m-3 (kfemin=0.04e-3, lig=1e-3 in mobi.F
+            # iron defaults are mmol-based); 0.6 nM typical interior
+            tr.append(Tracer("dfe", "mmol Fe m-3", 0.6e-3, True,
+                             False))
+            tr.append(Tracer("detrfe", "mmol Fe m-3", 1e-8, True,
+                             False))
         if bgc.nitrogen and bgc.nitrogen_15:
             for name, base in (("din15", 5.0), ("phytn15", 0.14),
                                ("zoopn15", 0.014), ("detrn15", 1e-4),

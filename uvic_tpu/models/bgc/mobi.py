@@ -1,183 +1,1355 @@
-"""MOBI 2.x biogeochemistry: the extended tracer suite.
+"""MOBI 2.x: Model of Ocean Biogeochemistry and Isotopes.
 
-TPU-native re-design of updates/10/source/mom/mobi.F (3.3 kLoC) scope:
-the NPZD core (models/bgc/npzd.py) extended with
+Faithful TPU-native redesign of ``updates/10/source/mom/mobi.F``
+(3,323 lines: mobi_init:3-482, mobi_driver:493-1496, mobi_src:
+1497-3323) plus the Pa/Th reversible-scavenging module
+``updates/10/source/mom/protac_thor.F``.
 
-- diatoms as a silicon-limited second producer class + opal cycling
-  (O_mobi_silicon: diat, sil, opl),
-- dissolved organic matter pools (dop, don) receiving a fraction of
-  production and remineralizing slowly,
-- iron (O_mobi_iron: dfe, detrfe): Redfield-tied uptake/remineralization
-  plus scavenging toward a ligand-bound background,
-- prognostic calcite (O_mobi_caco3: caco3) with sinking dissolution,
-- carbon-13 and nitrogen-15 isotope families carried with constant
-  fractionation at production (alpha_p) and ratio-slaved recycling,
-- Pa-231/Th-230 reversible scavenging onto sinking particles
-  (protac_thor.F),
-- DIC-14 radioactive decay (tracer.F:630-645).
+The reference structure is a per-(i,j) column driver (mobi_driver)
+calling a per-level point routine (mobi_src) that substeps the
+ecosystem ODEs ``nbio`` times.  Here the column loop becomes a
+``lax.scan`` down the vertical carrying the light attenuation and the
+sinking-export chain for every (j,i) column in the batch, and the
+substeps run in a ``fori_loop`` over a dict of whole-horizontal-slab
+pools — the MXU/VPU see large fused elementwise programs instead of
+scalar loops.
 
-This is the MOBI architecture and tracer accounting at full width
-(~39 tracers with all options, the memory-bandwidth stress case);
-the reference's variable-stoichiometry kinetics and per-process isotope
-fractionation pathways (mobi.F:30-3323) are simplified to documented
-leading-order forms and slated for refinement.
+Process fidelity (all from updates/10 mobi.F unless noted):
+
+- variable-stoichiometry phosphorus (phyt_phos / detr_phos quotas,
+  GM15 uptake ratio 0.006+0.0069*PO4, mobi_src:2704-2800),
+- Keller et al. 2012 food-web grazing (Holling II over preferences
+  zprefP/Det/Z/Diaz/Diat, mobi_src:2270-2330),
+- DOM pools with DOP-uptake switching (limP_dop vs limP_po4,
+  mobi_src:2219-2232),
+- diazotrophs (jdiar-reduced growth, tanh NO3 uptake switch,
+  non-Redfield N:P=28 excretion, mobi_src:2305-2320),
+- diatoms + opal with iron-dependent Si:N (tanh form,
+  mobi_src:2685-2696) and constant opal dissolution,
+- Nickelsen et al. 2015 iron: biomass-dependent half-saturations,
+  Fe-limited growth (deffe), ligand equilibrium feprime, organic
+  scavenging ~ (POC)^0.58, colloidal loss, sediment source
+  fetopsed * bct * expo_phos, anoxic redeposition (mobi_driver:
+  1046-1060, mobi_src:2777-2800, 2950-2990),
+- prognostic CaCO3 (Kvale et al. 2015): Omega-dependent production
+  ratio capr (Gehlen 2007) and dissolution dissk0*max(0,1-Omega_c)
+  via the pressure-corrected carbonate solve (mobi_driver:760-766),
+- Somes et al. 2010 nitrogen-15: assimilation / excretion / N2
+  fixation / water-column + benthic denitrification fractionation in
+  the beta formulation (mobi_src:2565-2610, mobi_driver:1300-1345),
+- Schmittner et al. 2013 carbon-13 with T/CO2*-dependent
+  fractionation ac13b (mobi_driver:745-752),
+- Bohlen et al. 2012 benthic denitrification (mobi_driver:995-1040),
+- OCMIP O2 consumption limiter and water-column denitrification
+  (mobi_driver:1283-1345),
+- Pa-231/Th-230 reversible scavenging onto POM/CaCO3/opal with
+  SPM-dependent partition coefficients (protac_thor.F:380-554).
+
+Known divergences (documented, not silent):
+- grazing preferences are normalized over the active prey set (the
+  reference's sumzpref check, mobi.F:293-310, double-counts zprefDiaz
+  and omits zprefDiat — a transcription bug we do not reproduce),
+- without O_mobi_nitrogen the reference leaves the phosphorus quota
+  pools un-updated; here they are Redfield-slaved,
+- lithogenic/dust particle fields for Pa/Th are zero (the reference
+  reads O_particle_fields.nc; no data directory in this build).
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...constants import DAYLEN
-from .npzd import Npzd, NpzdParams, TRCMIN
+from ...constants import DAYLEN, PI
+from .gasx import co2calc_sws
+from .npzd import TRCMIN
 
-RSTD_C13 = 0.0112372      # PDB standard ratio
-RSTD_N15 = 0.0036765      # atmospheric N2 standard
-ALPHA_P_C13 = 0.981       # photosynthetic fractionation ~ -19 permil
-ALPHA_P_N15 = 0.995       # ~ -5 permil
-C14_LAMBDA = 3.836e-12    # decay rate [1/s] (tracer.F:639)
-BETA_PA = 2.33e-3 / (365 * 86400.0)   # production [dpm/m^3/s]
-BETA_TH = 2.52e-2 / (365 * 86400.0)
-K_SCAV_PA = 0.2 / (365 * 86400.0)     # scavenging rate per detritus
-K_SCAV_TH = 2.0 / (365 * 86400.0)
+RC13STD = 0.0112372       # PDB (mobi.h rc13std)
+RN15STD = 0.0036765       # atmospheric N2 (mobi.h rn15std)
+C14_LAMBDA = 3.836e-12    # DIC-14 decay [1/s] (tracer.F:639)
+
+YRLEN = 365.0 * 86400.0
+# protac_thor.F:43-56 (production in dpm/m^3/yr, decay in 1/yr)
+BETA_PA = 2.33e-3 / YRLEN
+BETA_TH = 2.52e-2 / YRLEN
+LAMBDA_PA = 2.13e-5 / YRLEN
+LAMBDA_TH = 9.22e-6 / YRLEN
+RHOSW = 1024.5
+MW_C = 12.01e-3           # kg/mol (protac_thor.h:22)
+MW_CACO3 = 100.1e-3
+MW_OPAL = 67.3e-3
+ORG_TO_C_MASS = 2.199     # Klaas & Archer 2002 (protac_thor.F:90)
+# partition-coefficient factors (protac_thor.F:74-85)
+PATH_SPM_EXP = 0.66
+KPA_FAC = dict(pom=1.0, caco3=1.0 / 40.0, opal=1.0 / 6.0)
+KTH_FAC = dict(pom=1.0, caco3=1.0, opal=1.0 / 20.0)
 
 
-class Mobi(Npzd):
-    """NPZD core + MOBI extension tracers."""
+@dataclass
+class MobiParams:
+    """mobi_init namelist defaults (mobi.F:59-196), input units
+    (per-day rates, m lengths) — converted in ``Mobi.__init__``."""
+    alpha: float = 0.16
+    kw: float = 0.04
+    kc: float = 0.047
+    ki: float = 5.0
+    abio_P: float = 0.6
+    bbio: float = 1.066
+    cbio: float = 1.0
+    nup: float = 0.03          # linear phyt mortality [1/day]
+    nup_D: float = 0.0001      # quadratic diaz mortality
+    nupt0: float = 0.015
+    nupt0_D: float = 0.001
+    gamma1: float = 0.70
+    gbio: float = 0.38
+    nuz: float = 0.06
+    nud0: float = 0.07
+    nudon0: float = 2.33e-5
+    nudop0: float = 7.0e-5
+    wd0: float = 16.0          # m/day
+    mwz: float = 100000.0      # cm
+    mw: float = 0.02           # 1/day
+    mw_c: float = 0.06
+    par: float = 0.43
+    redctn: float = 7.1        # (mmol->mol conversion applied later)
+    redptn: float = 1.0 / 16.0
+    redotn: float = 10.6
+    caprmax: float = 0.022
+    kcapr: float = 0.4
+    dcaco3: float = 650000.0   # cm
+    jdiar: float = 0.08
+    dbct_D: float = 2.6
+    kzoo: float = 0.15
+    geZ: float = 0.6
+    diazntp: float = 28.0
+    dfr: float = 0.08
+    dfrt: float = 0.01
+    hdop: float = 0.4
+    k1n: float = 0.7
+    knmin: float = 0.15
+    knmax: float = 1.5
+    pmax: float = 0.15
+    zprefP: float = 0.18
+    zprefDiat: float = 0.18
+    zprefDiaz: float = 0.1
+    zprefZ: float = 0.18
+    zprefDet: float = 0.18
+    # silicon (mobi.F:103-121)
+    abiodiat: float = 3.45
+    nu_diat: float = 0.03
+    nudt0: float = 0.015
+    wo0: float = 50.0          # m/day
+    opl_disk0: float = 8.3e-3  # 1/day
+    sipr0: float = 0.13
+    knmin_Diat: float = 0.3
+    knmax_Diat: float = 3.0
+    pmax_Diat: float = 0.15
+    kfemin_Diat: float = 0.04e-3
+    kfemax_Diat: float = 0.8e-3
+    # caco3
+    kc_c: float = 0.047
+    wc0: float = 35.0          # m/day
+    dissk0: float = 0.013      # 1/day
+    # iron (mobi.F:167-196)
+    kfemin: float = 0.04e-3
+    kfemax: float = 0.2e-3
+    kfe_D: float = 0.1e-3
+    kfeleq: float = 10.0 ** 5.5
+    lig: float = 1.0e-3
+    thetamaxhi: float = 0.04
+    thetamaxlo: float = 0.01
+    alphamax: float = 73.6e-6 * 86400.0
+    alphamin: float = 18.4e-6 * 86400.0
+    mc: float = 12.011
+    fetopsed: float = 0.004
+    o2min: float = 5.0         # uM
+    kfeorg: float = 0.45 / 86400.0
+    rfeton: float = 10.0e-6 * 6.625
+    kfecol: float = 0.005 / 86400.0
+    # nitrogen-15 epsilons (mobi.F:160-166)
+    eps_assim: float = 6.0
+    eps_excr: float = 4.0
+    eps_nfix: float = 1.0
+    eps_wcdeni: float = 25.0
+    eps_bdeni0: float = 6.0
+    eps_recy: float = 1.0
+    # benthic denitrification factor
+    sgbdfac: float = 1.0
 
-    def sources(self, t_tm1, kmt, tmask, swr_in, aice, hice, hsno,
-                tlat_rad, relyr, c2dtts=None):
-        src = super().sources(t_tm1, kmt, tmask, swr_in, aice, hice,
-                              hsno, tlat_rad, relyr, c2dtts)
-        idx = self.idx
+
+def _flag(x):
+    """0.5 + sign(0.5, x): 1 where x >= 0 else 0 (Fortran sign)."""
+    return (x >= 0.0).astype(x.dtype)
+
+
+class Mobi:
+    """Full MOBI kinetics; drop-in for Npzd (same sources() contract).
+
+    Option flags are inferred from tracer presence in the registry, so
+    the active process set mirrors the reference CPP options.
+    """
+
+    def __init__(self, params, grid, idx, c2dtts: float,
+                 dtype=np.float64):
+        # `params` is the model's NpzdParams; only the flags and the
+        # substep length are taken from it — rates use MOBI defaults.
+        self.idx = idx
+        self.p = p = MobiParams()
+        self.nitrogen = "no3" in idx
+        self.o2 = "o2" in idx
+        self.carbon = "dic" in idx
+        self.alk = "alk" in idx
+        self.silicon = "diat" in idx
+        self.iron = "dfe" in idx
+        self.caco3 = "caco3" in idx
+        self.c13 = "dic13" in idx
+        self.n15 = "din15" in idx
+        self.c14 = "c14" in idx
+        self.pa_th = "pa231" in idx
+        km = grid.km
+
+        # --- unit conversions (mobi.F:204-266) ------------------------
+        self.redctn = p.redctn * 1.0e-3      # mol C / mmol N
+        self.redotn = p.redotn * 1.0e-3
+        self.redptn = p.redptn
+        self.redotp = self.redotn / p.redptn
+        self.redctp = self.redctn / p.redptn
+        self.redotc = self.redotn / self.redctn
+        self.redntp = 1.0 / p.redptn
+        self.redntc = 1.0 / self.redctn      # mmol N / mol C
+        self.diazptn = 1.0 / p.diazntp
+        self.kw = p.kw * 1.0e-2              # 1/cm
+        self.kc = p.kc * 1.0e-2
+        self.kc_c = p.kc_c * 1.0e-2
+        self.ki = p.ki * 1.0e-2
+        self.abio_P = p.abio_P / DAYLEN
+        self.abiodiat = p.abiodiat / DAYLEN
+        self.nup = p.nup / DAYLEN
+        self.nup_D = p.nup_D / DAYLEN
+        self.nupt0 = p.nupt0 / DAYLEN
+        self.nupt0_D = p.nupt0_D / DAYLEN
+        self.gbio = p.gbio / DAYLEN
+        self.nuz = p.nuz / DAYLEN
+        self.nud0 = p.nud0 / DAYLEN
+        self.nudon0 = p.nudon0 / DAYLEN
+        self.nudop0 = p.nudop0 / DAYLEN
+        self.nu_diat = p.nu_diat / DAYLEN
+        self.nudt0 = p.nudt0 / DAYLEN
+        self.dissk0 = p.dissk0 / DAYLEN
+        self.opl_disk0 = p.opl_disk0 / DAYLEN
+        self.alpha = p.alpha / DAYLEN
+        self.alphamax = p.alphamax / DAYLEN
+        self.alphamin = p.alphamin / DAYLEN
+        # with iron the P-I slope is computed from chlorophyll
+        # (mobi.F:264); otherwise folded into tap (mobi.F:266)
+        self.tap = 2.0 * p.par if self.iron \
+            else 2.0 * self.alpha * p.par
+
+        # grazing preference normalization over the ACTIVE prey set
+        prefs = dict(P=p.zprefP, Det=p.zprefDet, Z=p.zprefZ)
+        if self.nitrogen:
+            prefs["Diaz"] = p.zprefDiaz
+        if self.silicon:
+            prefs["Diat"] = p.zprefDiat
+        tot = sum(prefs.values())
+        self.zpref = {k: v / tot for k, v in prefs.items()}
+
+        zt = np.asarray(grid.zt)     # cm
+        zw = np.asarray(grid.zw)
+        dzt = np.asarray(grid.dzt)
+        wd0, wc0, wo0 = p.wd0 * 1e2, p.wc0 * 1e2, p.wo0 * 1e2  # cm/day
+        mw, mw_c = p.mw, p.mw_c
+        zcap = np.minimum(zt, p.mwz)
+        self.wd = jnp.asarray((wd0 + mw * zcap) / DAYLEN / dzt, dtype)
+        self.wc = jnp.asarray((wc0 + mw_c * zcap) / DAYLEN / dzt, dtype)
+        self.wo = jnp.asarray(wo0 / DAYLEN / dzt + 0 * zt, dtype)
+        # ztt(1)=0, ztt(k+1)=-zw(k) (mobi.F:288-291)
+        ztt = np.concatenate([[0.0], -zw[:-1]])
+        self.ztt = jnp.asarray(ztt, dtype)
+        self.dzt = jnp.asarray(dzt, dtype)
+        self.dztr = jnp.asarray(1.0 / dzt, dtype)
+        self.zt_m = jnp.asarray(zt * 1e-2, dtype)
+        self.dzt_m = jnp.asarray(dzt * 1e-2, dtype)
+        # calcite remin profiles for the non-prognostic-caco3 path
+        # (setmom.F:961-977)
+        rcak = np.empty(km)
+        rcab = np.empty(km)
+        rcak[0] = -(np.exp(-zw[0] / p.dcaco3) - 1.0) / dzt[0]
+        rcab[0] = -1.0 / dzt[0]
+        rcak[1:] = (-np.exp(-zw[1:] / p.dcaco3)
+                    + np.exp(-zw[:-1] / p.dcaco3)) / dzt[1:]
+        rcab[1:] = np.exp(-zw[:-1] / p.dcaco3) / dzt[1:]
+        self.rcak = jnp.asarray(rcak, dtype)
+        self.rcab = jnp.asarray(rcab, dtype)
+
+        self.nbio = max(1, int(round(c2dtts / params.dtnpzd)))
+        self.dtbio = c2dtts / self.nbio
+        self.rdtts = 1.0 / c2dtts
+        self.rnbio = 1.0 / self.nbio
+        self.c2dtts = c2dtts
+
+        # names stepped inside mobi_src, in a stable order
+        names = ["po4", "phyt", "phyt_phos", "zoop", "detr",
+                 "detr_phos"]
+        if self.carbon:
+            names.append("dic")
+        if self.nitrogen:
+            names += ["dop", "no3", "don", "diaz"]
+        if self.n15:
+            names += ["din15", "don15", "phytn15", "zoopn15",
+                      "detrn15", "diazn15"]
+            if self.silicon:
+                names.append("diatn15")
+        if self.c13:
+            names += ["dic13", "phytc13", "zoopc13", "detrc13"]
+            if self.nitrogen:
+                names += ["doc13", "diazc13"]
+            if self.silicon:
+                names.append("diatc13")
+            if self.caco3:
+                names.append("caco3c13")
+        if self.caco3:
+            names.append("caco3")
+        if self.silicon:
+            names += ["diat", "sil", "opl"]
+        if self.iron:
+            names += ["dfe", "detrfe"]
+        self.bio_names = names
+
+    # ==================================================================
+    # mobi_src (mobi.F:1497-3323): nbio substeps on one level's slabs
+    # ==================================================================
+    def _mobi_src(self, b0, gl, bct, bctz, nud, o2um, dissk1, capr,
+                  ac13b, wwd, wwc, wwo, dzt_k, dayfrac, imp, dtbio):
+        """b0: dict of (jmt, imt) pools; imp: dict of import fluxes.
+
+        Returns (delta dict, accumulated outputs dict).
+        """
         p = self.p
+        nit, sil_on, fe_on = self.nitrogen, self.silicon, self.iron
+        ca_on, c13_on, n15_on = self.caco3, self.c13, self.n15
+
+        def get(n):
+            return b0[n] if n in b0 else 0.0
+
+        # initial latched flags (mobi.F:1845-1920)
+        flags = {n: _flag(b0[n] - TRCMIN) for n in b0}
+        # clamp pools positive (mobi.F:1925-2000)
+        b = {n: jnp.maximum(b0[n], TRCMIN) for n in b0}
+
+        ptn_P0 = b["phyt_phos"] / b["phyt"]
+        ptn_d0 = b["detr_phos"] / b["detr"]
+        sf_P_phosflag = _flag(ptn_P0 - p.gamma1 * p.redptn)
+        sf_d_phosflag = _flag(ptn_d0 - p.gamma1 * p.redptn)
+
+        # --- light / growth ceilings (computed once, mobi.F:2005-2105)
+        kirr = -self.kw - self.kc * (b["phyt"]
+                                     + (b["diaz"] if nit else 0.0)
+                                     + (b["diat"] if sil_on else 0.0))
+        if ca_on:
+            kirr = kirr - self.kc_c * b["caco3"]
+        f1 = jnp.exp(kirr * dzt_k)
+        rkdz = 1.0 / (-kirr * dzt_k)
+
+        def phi(u):
+            s = jnp.sqrt(1.0 + u * u)
+            return jnp.log(u + s) - (s - 1.0) / u
+
+        def avej_of(gl_eff, jmx):
+            gd = jnp.maximum(1.0e-14, jmx * dayfrac)
+            u1 = jnp.maximum(gl_eff / gd, 1.0e-6)
+            u2 = u1 * f1
+            return gd * (phi(u1) - phi(u2)) * rkdz
+
+        if fe_on:
+            dfe = b["dfe"]
+            p1 = jnp.minimum(b["phyt"], p.pmax)
+            p2 = jnp.maximum(0.0, b["phyt"] - p.pmax)
+            kfevar = (p.kfemin * p1 + p.kfemax * p2) / (p1 + p2)
+            deffe = dfe / (kfevar + dfe)
+            thetamax = p.thetamaxlo \
+                + (p.thetamaxhi - p.thetamaxlo) * deffe
+            alpha_O = self.alphamin \
+                + (self.alphamax - self.alphamin) * deffe
+            avej = avej_of(gl * thetamax * alpha_O,
+                           self.abio_P * bct * deffe)
+            if nit:
+                deffe_D = dfe / (p.kfe_D + dfe)
+                th_D = p.thetamaxlo \
+                    + (p.thetamaxhi - p.thetamaxlo) * deffe_D
+                al_D = self.alphamin \
+                    + (self.alphamax - self.alphamin) * deffe_D
+                jmax_D0 = jnp.maximum(
+                    0.0, self.abio_P * (bct - p.dbct_D) * deffe_D) \
+                    * p.jdiar
+                avej_D = avej_of(gl * th_D * al_D, jmax_D0)
+            if sil_on:
+                p1d = jnp.minimum(b["diat"], p.pmax_Diat)
+                p2d = jnp.maximum(0.0, b["diat"] - p.pmax_Diat)
+                kfevar_Dt = (p.kfemin_Diat * p1d
+                             + p.kfemax_Diat * p2d) / (p1d + p2d)
+                deffe_Dt = dfe / (kfevar_Dt + dfe)
+                th_Dt = p.thetamaxlo \
+                    + (p.thetamaxhi - p.thetamaxlo) * deffe_Dt
+                al_Dt = self.alphamin \
+                    + (self.alphamax - self.alphamin) * deffe_Dt
+                avej_Diat = avej_of(gl * th_Dt * al_Dt,
+                                    self.abiodiat * bct * deffe_Dt)
+        else:
+            avej = avej_of(gl, self.abio_P * bct)
+            if nit:
+                jmax_D0 = jnp.maximum(
+                    0.0, self.abio_P * (bct - p.dbct_D)) * p.jdiar
+                avej_D = avej_of(gl, jmax_D0)
+            if sil_on:
+                avej_Diat = avej_of(gl, self.abiodiat * bct)
+
+        nupt = self.nupt0 * bct
+        nupt_D = self.nupt0_D * bct
+        nudt = self.nudt0 * bct
+        gmax = self.gbio * bctz
+        zp = self.zpref
+
+        acc0 = dict(expo=0.0, expo_phos=0.0, calpro=0.0, nfix=0.0)
+        if ca_on:
+            acc0.update(dissl=0.0, expocaco3=0.0)
+        if sil_on:
+            acc0.update(expoopl=0.0)
+        if fe_on:
+            acc0.update(expofe=0.0)
+        if n15_on:
+            acc0.update(rn15expo=0.0)
+        if c13_on:
+            acc0.update(rc13expo=0.0)
+            if ca_on:
+                acc0.update(rcaco3c13expo=0.0)
+        zero = jnp.zeros_like(b0["po4"])
+        acc0 = {k: zero + v for k, v in acc0.items()}
+
+        def clamp_ratio(x, y, rstd):
+            r = jnp.maximum(x, TRCMIN * rstd / (1 + rstd)) \
+                / jnp.maximum(y, TRCMIN)
+            return jnp.clip(r, 0.5 * rstd / (1 + rstd),
+                            2.0 * rstd / (1 + rstd))
+
+        def substep(_, carry):
+            b, fl, acc = carry
+            phyt, zoop, detr, po4 = (b["phyt"], b["zoop"], b["detr"],
+                                     b["po4"])
+            ptn_P = b["phyt_phos"] / jnp.maximum(phyt, TRCMIN)
+            ptn_d = b["detr_phos"] / jnp.maximum(detr, TRCMIN)
+
+            p1 = jnp.minimum(phyt, p.pmax)
+            p2 = jnp.maximum(0.0, phyt - p.pmax)
+            k1n_v = (p.knmin * p1 + p.knmax * p2) \
+                / jnp.maximum(p1 + p2, TRCMIN)
+            k1p_P = k1n_v * ptn_P
+            if fe_on:
+                dfe = b["dfe"]
+                kfevar = (p.kfemin * p1 + p.kfemax * p2) \
+                    / jnp.maximum(p1 + p2, TRCMIN)
+                deffe = dfe / (kfevar + dfe)
+                jmax = self.abio_P * bct * deffe
+                if sil_on:
+                    p1d = jnp.minimum(b["diat"], p.pmax_Diat)
+                    p2d = jnp.maximum(0.0, b["diat"] - p.pmax_Diat)
+                    k1n_Dt = (p.knmin_Diat * p1d + p.knmax_Diat * p2d) \
+                        / jnp.maximum(p1d + p2d, TRCMIN)
+                    k1p_Dt = k1n_Dt * p.redptn
+                    kfevar_Dt = (p.kfemin_Diat * p1d
+                                 + p.kfemax_Diat * p2d) \
+                        / jnp.maximum(p1d + p2d, TRCMIN)
+                    deffe_Dt = dfe / (kfevar_Dt + dfe)
+                    jmax_Diat = self.abiodiat * bct * deffe_Dt
+                if nit:
+                    deffe_D = dfe / (p.kfe_D + dfe)
+                    jmax_D = jnp.maximum(
+                        0.0, self.abio_P * (bct - p.dbct_D)
+                        * deffe_D) * p.jdiar
+            else:
+                jmax = self.abio_P * bct
+                if sil_on:
+                    k1n_Dt = 0.003
+                    k1p_Dt = k1n_Dt * p.redptn
+                    jmax_Diat = self.abiodiat * bct
+                if nit:
+                    jmax_D = jnp.maximum(
+                        0.0, self.abio_P * (bct - p.dbct_D)) * p.jdiar
+
+            # growth limitation (mobi.F:2219-2260)
+            if nit:
+                dop = b["dop"]
+                limP_dop = p.hdop * dop / (k1p_P + dop)
+                limP_po4 = po4 / (k1p_P + po4)
+                dopupt_flag = _flag(limP_dop - limP_po4)
+                limP = limP_dop * dopupt_flag \
+                    + limP_po4 * (1.0 - dopupt_flag)
+            else:
+                limP = po4 / (k1p_P + po4)
+                dopupt_flag = 0.0
+            u_P = jnp.minimum(avej, jmax * limP)
+            if sil_on:
+                k1si = 5.0e-3                       # mobi.F:2230
+                sil = b["sil"]
+                limSi = sil / (k1si + sil)
+                if nit:
+                    lpd = p.hdop * dop / (k1p_Dt + dop)
+                    lpp = po4 / (k1p_Dt + po4)
+                    dopupt_Dt_flag = _flag(lpd - lpp)
+                    limP_Dt = lpd * dopupt_Dt_flag \
+                        + lpp * (1.0 - dopupt_Dt_flag)
+                else:
+                    limP_Dt = po4 / (k1p_Dt + po4)
+                    dopupt_Dt_flag = 0.0
+                u_Diat = jnp.minimum(avej_Diat, jmax_Diat * limSi)
+                u_Diat = jnp.minimum(u_Diat, jmax_Diat * limP_Dt)
+            if nit:
+                no3 = b["no3"]
+                u_P = jnp.minimum(u_P, jmax * no3 / (k1n_v + no3))
+                if sil_on:
+                    u_Diat = jnp.minimum(
+                        u_Diat, jmax_Diat * no3 / (k1n_Dt + no3))
+                u_D = jnp.minimum(avej_D, jmax_D * limP)
+
+            # grazing coefficients (mobi.F:2270-2300)
+            thetaZ = zp["P"] * phyt + zp["Det"] * detr \
+                + zp["Z"] * zoop + p.kzoo
+            if nit:
+                thetaZ = thetaZ + zp["Diaz"] * b["diaz"]
+            if sil_on:
+                thetaZ = thetaZ + zp["Diat"] * b["diat"]
+            npp = u_P * phyt
+            if sil_on:
+                npp_Diat = u_Diat * b["diat"]
+            else:
+                npp_Diat = 0.0
+            if nit:
+                diaz = b["diaz"]
+                dopupt = npp * dopupt_flag
+                dopupt_Diat = (npp_Diat * dopupt_Dt_flag
+                               if sil_on else 0.0)
+                npp_D = jnp.maximum(0.0, u_D * diaz)
+                graz_D = gmax * zp["Diaz"] / thetaZ * diaz * zoop
+                morpt_D = nupt_D * diaz
+                morp_D = self.nup_D * diaz * diaz
+                no3upt_D = (0.5 + 0.5 * jnp.tanh(no3 - 5.0)) * npp_D
+                dopupt_D = npp_D * dopupt_flag
+            graz = gmax * zp["P"] / thetaZ * phyt * zoop
+            graz_Z = gmax * zp["Z"] / thetaZ * zoop * zoop
+            graz_Det = gmax * zp["Det"] / thetaZ * detr * zoop
+            morp = self.nup * phyt          # linear (mobi.F:2329)
+            morpt = nupt * phyt
+            if nit:
+                recy_don = self.nudon0 * bct * b["don"]
+                recy_dop = self.nudop0 * bct * b["dop"]
+            morz = self.nuz * zoop * zoop
+            remi = nud * bct * detr
+            expo = wwd * detr
+            expo_phos = wwd * b["detr_phos"]
+            if ca_on:
+                dissl = b["caco3"] * dissk1
+                expocaco3 = wwc * b["caco3"]
+            if sil_on:
+                graz_Diat = gmax * zp["Diat"] / thetaZ \
+                    * b["diat"] * zoop
+                morp_Diat = self.nu_diat * b["diat"]
+                morpt_Diat = nudt * b["diat"]
+                opldis = b["opl"] * self.opl_disk0
+                expoopl = wwo * b["opl"]
+            else:
+                morp_Diat = morpt_Diat = graz_Diat = 0.0
+            if fe_on:
+                remife = nud * bct * b["detrfe"]
+                o2f = _flag(o2um - p.o2min)
+                fepa = (1.0 + p.kfeleq * (p.lig - b["dfe"])) * o2f
+                feprime = ((-fepa + jnp.sqrt(
+                    fepa * fepa + 4.0 * p.kfeleq * b["dfe"]))
+                    / (2.0 * p.kfeleq)) * o2f
+                feorgads = (p.kfeorg * (
+                    jnp.maximum(detr * fl["detr"] * p.mc
+                                * self.redctn, 0.0) ** 0.58)
+                    * feprime) * o2f
+                fecol = p.kfecol * feprime * o2f
+                expofe = wwd * b["detrfe"]
+
+            # negative-pool outflux gating (mobi.F:2405-2500)
+            pf = fl["phyt"] * fl["phyt_phos"]
+            if n15_on:
+                pf = pf * fl["phytn15"]
+            graz = graz * pf * sf_P_phosflag
+            zf = fl["zoop"] * (fl["zoopn15"] if n15_on else 1.0)
+            graz_Z = graz_Z * zf
+            df = fl["detr"] * fl["detr_phos"] \
+                * (fl["detrn15"] if n15_on else 1.0)
+            graz_Det = graz_Det * df * sf_d_phosflag
+            morp = morp * pf
+            morpt = morpt * pf
+            morz = morz * zf
+            remi = remi * df
+            expo = expo * fl["detr"] \
+                * (fl["detrn15"] if n15_on else 1.0)
+            expo_phos = expo_phos * fl["detr_phos"]
+            if nit:
+                recy_dop = recy_dop * fl["dop"]
+                nflag = fl["no3"] * (fl["din15"] if n15_on else 1.0)
+                pool_ok = (dopupt_flag * fl["dop"]
+                           + (1.0 - dopupt_flag) * fl["po4"])
+                npp = npp * nflag * pool_ok
+                if sil_on:
+                    pool_ok_Dt = (dopupt_Dt_flag * fl["dop"]
+                                  + (1.0 - dopupt_Dt_flag) * fl["po4"])
+                    npp_Diat = npp_Diat * nflag * pool_ok_Dt
+                npp_D = npp_D * pool_ok \
+                    * (fl["din15"] if n15_on else 1.0)
+                dzf = fl["diaz"] * (fl["diazn15"] if n15_on else 1.0)
+                graz_D = graz_D * dzf
+                morpt_D = morpt_D * dzf
+                morp_D = morp_D * dzf
+                no3upt_D = no3upt_D * nflag
+                recy_don = recy_don \
+                    * fl["don"] * (fl["don15"] if n15_on else 1.0)
+            else:
+                npp = npp * fl["po4"]
+                if sil_on:
+                    npp_Diat = npp_Diat * fl["po4"]
+            if ca_on:
+                dissl = dissl * fl["caco3"]
+                expocaco3 = expocaco3 * fl["caco3"]
+            if sil_on:
+                graz_Diat = graz_Diat * fl["diat"]
+                morp_Diat = morp_Diat * fl["diat"]
+                morpt_Diat = morpt_Diat * fl["diat"]
+            if fe_on:
+                remife = remife * fl["detrfe"]
+                feorgads = feorgads * fl["dfe"]
+                expofe = expofe * fl["detrfe"]
+                fecol = fecol * fl["dfe"]
+
+            # digestion / excretion / sloppy feeding (mobi.F:2500-2560)
+            dig_P = p.gamma1 * graz
+            dig_Z = p.gamma1 * graz_Z
+            dig_Det = p.gamma1 * graz_Det
+            dig_Diat = p.gamma1 * graz_Diat if sil_on else 0.0
+            dig = dig_P + dig_Z + dig_Det + dig_Diat
+            excr_P = p.gamma1 * (1 - p.geZ) * graz
+            excr_Z = p.gamma1 * (1 - p.geZ) * graz_Z
+            excr_Det = p.gamma1 * (1 - p.geZ) * graz_Det
+            excr_Diat = (p.gamma1 * (1 - p.geZ) * graz_Diat
+                         if sil_on else 0.0)
+            excr = excr_P + excr_Z + excr_Det + excr_Diat
+            sf_P = (1.0 - p.gamma1) * graz
+            sf_Z = (1.0 - p.gamma1) * graz_Z
+            sf_Det = (1.0 - p.gamma1) * graz_Det
+            sf_Diat = (1.0 - p.gamma1) * graz_Diat if sil_on else 0.0
+            sf = sf_P + sf_Z + sf_Det + sf_Diat
+            sf_P_phos = graz * ptn_P - dig_P * p.redptn
+            sf_Det_phos = graz_Det * ptn_d - dig_Det * p.redptn
+            sf_phos = sf_P_phos + sf_Z * p.redptn + sf_Det_phos \
+                + sf_Diat * p.redptn
+            rr = self.redntp * self.diazptn     # redntp/diazntp
+            if nit:
+                dig_D = p.gamma1 * graz_D * rr
+                dig = dig + dig_D
+                excr_D = p.gamma1 * (1 - p.geZ) * graz_D * rr
+                excr = excr + excr_D
+                nr_excr_D = graz_D * (1.0 - rr)
+                sf_D = (1 - p.gamma1) * graz_D * rr
+                sf = sf + sf_D
+                sf_phos = sf_phos + sf_D * p.redptn
+            else:
+                nr_excr_D = 0.0
+                dig_D = sf_D = 0.0
+
+            # nitrogen-15 beta fractionation (mobi.F:2565-2625)
+            if n15_on:
+                uno3 = jnp.clip(npp * dtbio
+                                / jnp.maximum(no3, TRCMIN),
+                                TRCMIN, 0.999)
+                rno3 = jnp.clip(
+                    b["din15"] / jnp.maximum(no3 - b["din15"], TRCMIN),
+                    RN15STD / 2.0, 2.0 * RN15STD)
+                bassim = rno3 + p.eps_assim * (1 - uno3) / uno3 \
+                    * jnp.log1p(-uno3) * rno3 / 1000.0
+                fcassim = bassim / (1 + bassim)
+                udon = jnp.clip(recy_don * dtbio
+                                / jnp.maximum(b["don"], TRCMIN),
+                                TRCMIN, 0.999)
+                rdon = jnp.clip(
+                    b["don15"] / jnp.maximum(b["don"] - b["don15"],
+                                             TRCMIN),
+                    RN15STD / 2.0, 2.0 * RN15STD)
+                brecy = rdon + p.eps_recy * (1 - udon) / udon \
+                    * jnp.log1p(-udon) * rdon / 1000.0
+                fcrecy = brecy / (1 + brecy)
+                rzoop = jnp.clip(
+                    b["zoopn15"] / jnp.maximum(zoop - b["zoopn15"],
+                                               TRCMIN),
+                    RN15STD / 2.0, 2.0 * RN15STD)
+                bexcr = rzoop - p.eps_excr * rzoop / 1000.0
+                fcexcr = bexcr / (1 + bexcr)
+                bnfix = RN15STD - p.eps_nfix * RN15STD / 1000.0
+                fcnfix = bnfix / (1 + bnfix)
+                rtphytn15 = clamp_ratio(b["phytn15"], phyt, RN15STD)
+                rtzoopn15 = clamp_ratio(b["zoopn15"], zoop, RN15STD)
+                rtdetrn15 = clamp_ratio(b["detrn15"], detr, RN15STD)
+                rtdiazn15 = clamp_ratio(b["diazn15"], diaz, RN15STD)
+                if sil_on:
+                    rtdiatn15 = clamp_ratio(b["diatn15"], b["diat"],
+                                            RN15STD)
+
+            # carbon-13 beta fractionation (mobi.F:2625-2670)
+            if c13_on:
+                dic = b["dic"]
+                rdic13 = jnp.clip(
+                    b["dic13"] / jnp.maximum(dic - b["dic13"], TRCMIN),
+                    0.5 * RC13STD, 2.0 * RC13STD)
+                bc13npp = ac13b * rdic13
+                fcnpp = bc13npp / (1 + bc13npp)
+                rtdic13 = clamp_ratio(b["dic13"], dic, RC13STD)
+                rtphytc13 = clamp_ratio(b["phytc13"],
+                                        phyt * self.redctn, RC13STD)
+                rtzoopc13 = clamp_ratio(b["zoopc13"],
+                                        zoop * self.redctn, RC13STD)
+                rtdetrc13 = clamp_ratio(b["detrc13"],
+                                        detr * self.redctn, RC13STD)
+                if nit:
+                    rtdoc13 = clamp_ratio(b["doc13"],
+                                          b["don"] * self.redctn,
+                                          RC13STD)
+                    rtdiazc13 = clamp_ratio(b["diazc13"],
+                                            diaz * self.redctn,
+                                            RC13STD)
+                else:
+                    rtdoc13 = rtdiazc13 = 0.0
+                if sil_on:
+                    rtdiatc13 = clamp_ratio(b["diatc13"],
+                                            b["diat"] * self.redctn,
+                                            RC13STD)
+                else:
+                    rtdiatc13 = 0.0
+                if ca_on:
+                    rtcaco3c13 = clamp_ratio(b["caco3c13"],
+                                             b["caco3"], RC13STD)
+
+            # calcite / opal production (mobi.F:2670-2700)
+            if ca_on:
+                calpro = ((sf_Z + morz) + (sf_P + morp)) * capr \
+                    * self.redctn * 1.0e3
+            else:
+                calpro = (morp + morz
+                          + (graz + graz_Z) * (1.0 - p.gamma1)) \
+                    * capr * self.redctn * 1.0e3
+            if sil_on:
+                if fe_on:
+                    sipr_v = (-0.46204044117647
+                              * jnp.tanh(6.9 * b["dfe"] * 1.0e3
+                                         - 3.673092)
+                              + 1.60266544117647)
+                    oplpro = (morp_Diat + sf_Diat) * sipr_v \
+                        * fl["sil"] * 1.0e-3
+                else:
+                    oplpro = (morp_Diat + sf_Diat) * p.sipr0 \
+                        * self.redctn * fl["sil"]
+                opldis = opldis * fl["opl"]
+                expoopl = expoopl * fl["opl"]
+
+            # --- prognostic updates (mobi.F:2700-3100) ----------------
+            nb = dict(b)
+            ts = dtbio
+            if nit:
+                gm15ptn = (0.0060 + 0.0069 * po4) * self.redctn * 1e3
+                nb["po4"] = po4 + ts * (
+                    dopupt * ptn_P - gm15ptn * npp
+                    + (1 - p.dfrt) * morpt * ptn_P + remi * ptn_d
+                    + self.diazptn * (morpt_D - (npp_D - dopupt_D))
+                    + recy_dop
+                    + p.redptn * (excr + (1 - p.dfrt) * morpt_Diat
+                                  - (npp_Diat - dopupt_Diat)))
+                nb["dop"] = b["dop"] + ts * (
+                    p.dfr * morp * ptn_P
+                    + p.redptn * (p.dfr * morp_Diat
+                                  + p.dfrt * morpt_Diat - dopupt_Diat)
+                    + p.dfrt * morpt * ptn_P - ptn_P * dopupt
+                    - self.diazptn * dopupt_D - recy_dop)
+                nb["phyt"] = phyt + ts * (npp - morp - graz - morpt)
+                nb["phyt_phos"] = b["phyt_phos"] + ts * (
+                    npp * gm15ptn - (morp + graz + morpt) * ptn_P)
+                nb["zoop"] = zoop + ts * (dig - morz - graz_Z - excr)
+                nb["detr"] = detr + ts * (
+                    (1 - p.dfr) * morp + sf + morz - remi - graz_Det
+                    - expo + imp["expo"] + morp_D * rr
+                    + (1 - p.dfr) * morp_Diat)
+                nb["detr_phos"] = b["detr_phos"] + ts * (
+                    (1 - p.dfr) * morp * ptn_P + sf_phos
+                    + morz * p.redptn - remi * ptn_d
+                    - graz_Det * ptn_d - expo_phos + imp["expo_phos"]
+                    + morp_D * rr * p.redptn
+                    + (1 - p.dfr) * morp_Diat * p.redptn)
+                organic_net = (excr + remi + (1 - p.dfrt) * morpt
+                               - npp + (1 - p.dfrt) * morpt_Diat
+                               - npp_Diat + morpt_D + recy_don
+                               + nr_excr_D + morp_D * (1.0 - rr))
+                if self.carbon:
+                    nb["dic"] = b["dic"] + ts * self.redctn \
+                        * (organic_net - npp_D)
+                nb["no3"] = no3 + ts * (organic_net - no3upt_D)
+                nb["don"] = b["don"] + ts * (
+                    p.dfr * morp + p.dfrt * morpt - recy_don
+                    + p.dfr * morp_Diat + p.dfrt * morpt_Diat)
+                nb["diaz"] = diaz + ts * (npp_D - morp_D - morpt_D
+                                          - graz_D)
+            else:
+                nb["po4"] = po4 + ts * p.redptn * (
+                    remi + excr - npp + morpt - npp_Diat + morpt_Diat)
+                nb["phyt"] = phyt + ts * (npp - morp - graz - morpt)
+                # divergence: Redfield-slaved quotas (ref leaves them)
+                nb["phyt_phos"] = b["phyt_phos"] + ts * p.redptn * (
+                    npp - morp - graz - morpt)
+                nb["zoop"] = zoop + ts * (dig - morz - graz_Z - excr)
+                nb["detr"] = detr + ts * (
+                    morp + sf + morz - remi - graz_Det - expo
+                    + imp["expo"] + morp_Diat)
+                nb["detr_phos"] = b["detr_phos"] + ts * p.redptn * (
+                    morp + sf + morz - remi - graz_Det + morp_Diat) \
+                    + ts * (imp["expo_phos"] - expo_phos)
+                if self.carbon:
+                    nb["dic"] = b["dic"] + ts * self.redctn * (
+                        morpt + excr + remi - npp
+                        + morpt_Diat - npp_Diat)
+            if ca_on:
+                nb["caco3"] = b["caco3"] + ts * (
+                    calpro - dissl - expocaco3 + imp["expocaco3"])
+            if sil_on:
+                nb["diat"] = b["diat"] + ts * (
+                    npp_Diat - morp_Diat - graz_Diat - morpt_Diat)
+                nb["sil"] = b["sil"] + ts * (opldis - oplpro)
+                nb["opl"] = b["opl"] + ts * (
+                    oplpro - opldis - expoopl + imp["expoopl"])
+            if fe_on:
+                rfe = p.rfeton
+                if nit:
+                    nb["dfe"] = b["dfe"] + ts * (
+                        rfe * (excr + (1 - p.dfrt) * morpt - npp
+                               + morpt_D - npp_D + recy_don
+                               + nr_excr_D + morp_D * (1 - rr)
+                               + (1 - p.dfrt) * morpt_Diat - npp_Diat)
+                        - feorgads + remife - fecol)
+                    nb["detrfe"] = b["detrfe"] + ts * (
+                        rfe * (sf + (1 - p.dfr) * morp + morp_D * rr
+                               + morz - graz_Det
+                               + (1 - p.dfr) * morp_Diat)
+                        + feorgads + fecol - remife - expofe
+                        + imp["expofe"])
+                else:
+                    nb["dfe"] = b["dfe"] + ts * (
+                        rfe * (excr + morpt - npp
+                               + morpt_Diat - npp_Diat)
+                        - feorgads + remife - fecol)
+                    nb["detrfe"] = b["detrfe"] + ts * (
+                        rfe * (sf + morp + morz - graz_Det
+                               + morp_Diat)
+                        + feorgads + fecol - remife - expofe
+                        + imp["expofe"])
+            if n15_on:
+                nb["din15"] = b["din15"] + ts * (
+                    rtphytn15 * (1 - p.dfrt) * morpt
+                    + (rtdiatn15 * (1 - p.dfrt) * morpt_Diat
+                       - fcassim * npp_Diat if sil_on else 0.0)
+                    + fcexcr * excr + rtdiazn15 * morpt_D
+                    + rtdiazn15 * nr_excr_D
+                    + rtdiazn15 * morp_D * (1 - rr)
+                    + rtdetrn15 * remi + fcrecy * recy_don
+                    - fcassim * npp - fcassim * no3upt_D)
+                nb["don15"] = b["don15"] + ts * (
+                    p.dfr * rtphytn15 * morp
+                    + (p.dfr * rtdiatn15 * morp_Diat
+                       + p.dfrt * rtdiatn15 * morpt_Diat
+                       if sil_on else 0.0)
+                    + p.dfrt * rtphytn15 * morpt - fcrecy * recy_don)
+                nb["phytn15"] = b["phytn15"] + ts * (
+                    fcassim * npp
+                    - rtphytn15 * (morp + graz + morpt))
+                if sil_on:
+                    nb["diatn15"] = b["diatn15"] + ts * (
+                        fcassim * npp_Diat - rtdiatn15
+                        * (morp_Diat + graz_Diat + morpt_Diat))
+                nb["zoopn15"] = b["zoopn15"] + ts * (
+                    rtphytn15 * dig_P
+                    + (rtdiatn15 * dig_Diat if sil_on else 0.0)
+                    + rtzoopn15 * dig_Z + rtdetrn15 * dig_Det
+                    + rtdiazn15 * dig_D - rtzoopn15 * morz
+                    - rtzoopn15 * graz_Z - fcexcr * excr)
+                nb["detrn15"] = b["detrn15"] + ts * (
+                    rtphytn15 * (1 - p.dfr) * morp
+                    + (rtdiatn15 * (1 - p.dfr) * morp_Diat
+                       + rtdiatn15 * sf_Diat if sil_on else 0.0)
+                    + rtphytn15 * sf_P + rtzoopn15 * sf_Z
+                    + rtdetrn15 * sf_Det + rtdiazn15 * sf_D
+                    + rtzoopn15 * morz - rtdetrn15 * remi
+                    - rtdetrn15 * graz_Det - rtdetrn15 * expo
+                    + imp["rn15"] * imp["expo"]
+                    + rtdiazn15 * morp_D * rr)
+                nb["diazn15"] = b["diazn15"] + ts * (
+                    fcnfix * (npp_D - no3upt_D)
+                    + fcassim * no3upt_D
+                    - rtdiazn15 * (morp_D + graz_D + morpt_D))
+            if c13_on:
+                rc = self.redctn
+                if nit:
+                    nb["dic13"] = b["dic13"] + ts * rc * (
+                        rtphytc13 * (1 - p.dfrt) * morpt
+                        + rtzoopc13 * excr + rtdiazc13 * morpt_D
+                        + rtdiazc13 * nr_excr_D
+                        + rtdiazc13 * morp_D * (1 - rr)
+                        + rtdetrc13 * remi
+                        + (rtdiatc13 * (1 - p.dfrt) * morpt_Diat
+                           - fcnpp * npp_Diat if sil_on else 0.0)
+                        + rtdoc13 * recy_don - fcnpp * npp
+                        - fcnpp * npp_D)
+                    nb["doc13"] = b["doc13"] + ts * rc * (
+                        p.dfr * rtphytc13 * morp
+                        + (rtdiatc13 * (p.dfr * morp_Diat
+                                        + p.dfrt * morpt_Diat)
+                           if sil_on else 0.0)
+                        + rtphytc13 * p.dfrt * morpt
+                        - rtdoc13 * recy_don)
+                    nb["diazc13"] = b["diazc13"] + ts * rc * (
+                        fcnpp * npp_D
+                        - rtdiazc13 * (morp_D + graz_D + morpt_D))
+                else:
+                    nb["dic13"] = b["dic13"] + ts * rc * (
+                        rtphytc13 * morpt + rtzoopc13 * excr
+                        + rtdetrc13 * remi - fcnpp * npp
+                        + (rtdiatc13 * morpt_Diat - fcnpp * npp_Diat
+                           if sil_on else 0.0))
+                nb["phytc13"] = b["phytc13"] + ts * rc * (
+                    fcnpp * npp - rtphytc13 * (morp + graz + morpt))
+                nb["zoopc13"] = b["zoopc13"] + ts * rc * (
+                    rtphytc13 * dig_P
+                    + (rtdiatc13 * dig_Diat if sil_on else 0.0)
+                    + rtzoopc13 * dig_Z + rtdetrc13 * dig_Det
+                    + rtdiazc13 * dig_D
+                    - rtzoopc13 * (morz + graz_Z + excr))
+                nb["detrc13"] = b["detrc13"] + ts * rc * (
+                    rtphytc13 * (1 - p.dfr) * morp
+                    + (rtdiatc13 * (1 - p.dfr) * morp_Diat
+                       + rtdiatc13 * sf_Diat if sil_on else 0.0)
+                    + rtphytc13 * sf_P + rtzoopc13 * sf_Z
+                    + rtdetrc13 * sf_Det + rtdiazc13 * sf_D
+                    + rtzoopc13 * morz - rtdetrc13 * remi
+                    - rtdetrc13 * graz_Det - rtdetrc13 * expo
+                    + imp["rc13"]
+                    + (rtdiazc13 * morp_D * rr if nit else 0.0))
+                if sil_on:
+                    nb["diatc13"] = b["diatc13"] + ts * rc * (
+                        fcnpp * npp_Diat - rtdiatc13
+                        * (morp_Diat + graz_Diat + morpt_Diat))
+                if ca_on:
+                    nb["caco3c13"] = b["caco3c13"] + ts * (
+                        rtdic13 * calpro - rtcaco3c13 * dissl
+                        - rtcaco3c13 * expocaco3 + imp["rcaco3c13"])
+
+            # accumulate outputs (mobi.F:3100-3160)
+            nacc = dict(acc)
+            nacc["expo"] = acc["expo"] + expo
+            nacc["expo_phos"] = acc["expo_phos"] + expo_phos
+            nacc["calpro"] = acc["calpro"] + calpro
+            if nit:
+                nacc["nfix"] = acc["nfix"] + npp_D - no3upt_D
+            if ca_on:
+                nacc["dissl"] = acc["dissl"] + dissl
+                nacc["expocaco3"] = acc["expocaco3"] + expocaco3
+            if sil_on:
+                nacc["expoopl"] = acc["expoopl"] + expoopl
+            if fe_on:
+                nacc["expofe"] = acc["expofe"] + expofe
+            if n15_on:
+                nacc["rn15expo"] = acc["rn15expo"] + rtdetrn15
+            if c13_on:
+                nacc["rc13expo"] = acc["rc13expo"] + rtdetrc13 * expo
+                if ca_on:
+                    nacc["rcaco3c13expo"] = acc["rcaco3c13expo"] \
+                        + rtcaco3c13 * expocaco3
+
+            # latch flags (mobi.F:3170-3265)
+            nfl = {n: fl[n] * _flag(nb[n] - TRCMIN) for n in fl}
+            return nb, nfl, nacc
+
+        bF, _, acc = jax.lax.fori_loop(0, self.nbio, substep,
+                                       (b, flags, acc0))
+        delta = {n: bF[n] - b0[n] for n in b0}
+        return delta, acc
+
+    # ==================================================================
+    # mobi_driver (mobi.F:493-1496): the column model over all (j,i)
+    # ==================================================================
+    def sources(self, t_tm1, kmt, tmask, swr_in, aice, hice, hsno,
+                tlat_rad, relyr, c2dtts=None, co2ccn=280.0):
+        p = self.p
+        idx = self.idx
         km = t_tm1.shape[1]
-        levels = jnp.arange(km).reshape(km, 1, 1)
-        in_col = (levels < kmt[None]).astype(t_tm1.dtype)
+        dt = t_tm1.dtype
+        if c2dtts is None:
+            dtbio, rdtts, c2dtts = self.dtbio, self.rdtts, self.c2dtts
+        else:
+            dtbio, rdtts = c2dtts / self.nbio, 1.0 / c2dtts
+
+        # solar geometry (tracer.F:356-402)
+        declin = jnp.sin((jnp.mod(relyr, 1.0) - 0.22) * 2.0 * PI) * 0.4
+        rctheta = jnp.clip(tlat_rad - declin, -1.5, 1.5)
+        rctheta = self.kw / jnp.sqrt(
+            1.0 - (1.0 - jnp.cos(rctheta) ** 2) / 1.33 ** 2)
+        dayfrac = jnp.minimum(1.0, -jnp.tan(tlat_rad)
+                              * jnp.tan(declin))
+        dayfrac = jnp.maximum(
+            1e-12, jnp.arccos(jnp.maximum(-1.0, dayfrac)) / PI)
+        swr0 = self.tap * swr_in * 1e-3 * (
+            1.0 + aice * (jnp.exp(-self.ki * (hice + hsno)) - 1.0))
+
         temp = t_tm1[idx.itemp]
         bct = p.bbio ** (p.cbio * temp)
+        if self.o2:
+            o2um = t_tm1[idx.io2] * 1000.0        # tracer.F:559
+            bctz = 0.5 * (jnp.tanh(o2um - 8.0) + 1.0) \
+                * p.bbio ** (p.cbio * temp)
+            nud = self.nud0 * (0.65 + 0.35 * jnp.tanh(o2um - 3.0))
+        else:
+            o2um = jnp.full_like(temp, 300.0)
+            bctz = p.bbio ** (p.cbio * jnp.minimum(temp, 20.0))
+            nud = jnp.broadcast_to(jnp.asarray(self.nud0, dt),
+                                   temp.shape)
 
-        def tr(name):
-            return jnp.maximum(t_tm1[getattr(idx, "i" + name)], TRCMIN)
+        # 3-D carbonate state for dissolution/production/ac13b
+        # (mobi_driver:740-766); constant-280 CO2 is fine — only
+        # CO3/Omega/co2star enter, which depend on DIC/ALK, not pCO2atm
+        if (self.caco3 or self.c13) and self.carbon and self.alk:
+            salt = 1.0e3 * t_tm1[idx.isalt] + 35.0
+            carb = co2calc_sws(
+                jnp.clip(temp, -2.0, 35.0), jnp.clip(salt, 0.0, 45.0),
+                t_tm1[idx.idic], t_tm1[idx.ialk], co2ccn,
+                depth_m=self.zt_m[:, None, None], n_iter=25)
+            dissk1 = self.dissk0 \
+                * jnp.maximum(0.0, 1.0 - carb["omega_c"])
+            # Gehlen et al. (2007) eq. 3 with the positive-part INSIDE
+            # the Michaelis term.  The reference writes
+            # max(0,(Omega-1)/(kcapr+Omega-1)) (mobi_driver:766) which
+            # goes large-positive again for Omega < 1-kcapr (both
+            # factors negative) — spurious calcite production in
+            # corrosive deep water; we use the intended monotone form.
+            om1 = jnp.maximum(0.0, carb["omega_c"] - 1.0)
+            capr = p.caprmax * om1 / (p.kcapr + om1)
+            if self.c13:
+                ac13_dic_aq = -1.0512994e-4 * temp + 1.011765
+                ac13_aq_poc = -0.017 * jnp.log10(
+                    jnp.clip(carb["co2star"] * 1000.0, 2.0, 74.0)) \
+                    + 1.0034
+                ac13b = ac13_aq_poc / ac13_dic_aq
+            else:
+                ac13b = jnp.zeros_like(temp)
+        else:
+            dissk1 = jnp.full_like(temp, self.dissk0)
+            capr = jnp.full_like(temp, p.caprmax)
+            ac13b = jnp.full_like(temp, 1.0)
 
-        def ratio(child, parent, rstd):
-            return jnp.clip(tr(child) / jnp.maximum(tr(parent), TRCMIN),
-                            0.0, 10.0 * rstd)
+        levels = jnp.arange(km)[:, None, None]
+        in_col = (levels < kmt[None]).astype(dt)
+        is_bot = ((levels == (kmt - 1)[None]) & (kmt[None] > 0)) \
+            .astype(dt)
 
-        def add(name, val):
-            nonlocal src
-            i = idx.index(name)
-            if i is not None:
-                src = src.at[i].add(val * in_col)
+        names = self.bio_names
+        b_all = {n: t_tm1[idx[n]] for n in names}
+        zero2 = jnp.zeros_like(swr0)
 
-        npp_proxy = jnp.maximum(src[idx.iphyt]
-                                + self.nupt0 * bct * tr("phyt"), 0.0)
+        def level_step(carry, kin):
+            (swr, phin, caco3in, expo, expo_phos, expofe, expocaco3,
+             expoopl, rc13expo, rcaco3c13expo, rn15expo) = carry
+            (k, bk, bctk, bctzk, nudk, o2k, dissk1k, caprk, ac13bk,
+             maskk, botk) = kin
+            # light attenuation by the column above (mobi_driver:768)
+            swr = swr * jnp.exp(-self.kc * phin
+                                - self.kc_c * caco3in)
+            phin = jnp.maximum(bk["phyt"], TRCMIN) * self.dzt[k]
+            if self.nitrogen:
+                phin = phin + jnp.maximum(bk["diaz"], TRCMIN) \
+                    * self.dzt[k]
+            if self.silicon:
+                phin = phin + jnp.maximum(bk["diat"], TRCMIN) \
+                    * self.dzt[k]
+            if self.caco3:
+                caco3in = caco3in + bk["caco3"] * self.dzt[k]
+            gl = swr * jnp.exp(self.ztt[k] * rctheta)
+            imp = dict(expo=expo * self.dztr[k],
+                       expo_phos=expo_phos * self.dztr[k],
+                       expofe=expofe * self.dztr[k],
+                       expocaco3=expocaco3 * self.dztr[k],
+                       expoopl=expoopl * self.dztr[k],
+                       rc13=rc13expo * self.dztr[k],
+                       rcaco3c13=rcaco3c13expo * self.dztr[k],
+                       rn15=rn15expo)
 
-        # ---- diatoms + silicon (O_mobi_silicon) ----------------------
-        if "diat" in idx:
-            sil = tr("sil")
-            diat = tr("diat")
-            jmax_d = 0.7 / 0.4 * self.abio * bct   # abiodiat/abio_P ratio
-            lim = jnp.minimum(tr("po4") / (self.k1p + tr("po4")),
-                              sil / (4.0 + sil))
-            if "no3" in idx:
-                lim = jnp.minimum(lim, tr("no3")
-                                  / (self.k1n + tr("no3")))
-            light = jnp.clip(swr_in[None] * 1e-3 / 80.0, 0.0, 1.0) \
-                * jnp.exp(-levels * 0.5)
-            npp_d = jmax_d * lim * light * diat
-            graz_d = self.gbio * 0.5 * diat / (1.0 + diat) * tr("zoop")
-            mort_d = self.nup * diat * diat + self.nupt0 * bct * diat
-            add("diat", npp_d - graz_d - mort_d)
-            # silicon: uptake by diatoms (Si:N ~ 2), opal dissolution
-            si_upt = 2.0 * npp_d
-            opl_remin = 0.01 / DAYLEN * bct * tr("opl")
-            add("sil", -si_upt + opl_remin)
-            add("opl", 2.0 * (graz_d + mort_d) - opl_remin
-                - self.wd[:, None, None] * tr("opl") * 0.5)
-            add("po4", self.redptn * (-npp_d + mort_d))
-            if "no3" in idx:
-                add("no3", -npp_d + mort_d)
-            add("detr", graz_d * (1.0 - p.gamma1))
-            add("zoop", p.gamma1 * graz_d)
+            delta, acc = self._mobi_src(
+                bk, gl, bctk, bctzk, nudk, o2k, dissk1k, caprk,
+                ac13bk, self.wd[k], self.wc[k], self.wo[k],
+                self.dzt[k], dayfrac, imp, dtbio)
 
-        # ---- dissolved organic matter (dop/don) ----------------------
-        if "dop" in idx:
-            hdop = 0.5 * 0.04    # fraction of production to DOM
-            remin_dop = 2.0e-5 / DAYLEN * bct * tr("dop")
-            remin_don = 1.0e-5 / DAYLEN * bct * tr("don")
-            add("dop", hdop * self.redptn * npp_proxy - remin_dop)
-            add("don", hdop * npp_proxy - remin_don)
-            add("po4", remin_dop - hdop * self.redptn * npp_proxy)
-            if "no3" in idx:
-                add("no3", remin_don - hdop * npp_proxy)
+            snpzd = {n: delta[n] * rdtts * maskk for n in delta}
+            rn = self.rnbio
+            expo_r = acc["expo"] * rn
+            expo_phos_r = acc["expo_phos"] * rn
+            expofe_r = acc["expofe"] * rn if self.iron else zero2
+            expocaco3_r = acc["expocaco3"] * rn if self.caco3 \
+                else zero2
+            expoopl_r = acc["expoopl"] * rn if self.silicon else zero2
+            rc13_r = acc["rc13expo"] * rn if self.c13 else zero2
+            rcaco3c13_r = acc["rcaco3c13expo"] * rn \
+                if (self.c13 and self.caco3) else zero2
+            rn15_r = acc["rn15expo"] * rn if self.n15 else zero2
+            calpro_r = acc["calpro"] * rn
+            dissl_r = acc["dissl"] * rn if self.caco3 else zero2
+            nfix_r = acc["nfix"] * rn if self.nitrogen else zero2
 
-        # ---- iron (dfe/detrfe) ---------------------------------------
-        if "dfe" in idx:
-            rfep = 5.86e-5 * 1000.0    # Fe:P uptake [umol Fe / mmol P]
-            upt = rfep * self.redptn * npp_proxy
-            remin = 0.07 / DAYLEN * bct * tr("detrfe")
-            feprime = jnp.maximum(tr("dfe") - 0.6, 0.0)  # above ligand
-            scav = 0.005 / DAYLEN * feprime * (1.0 + tr("detr"))
-            add("dfe", -upt + remin - scav)
-            add("detrfe", upt - remin + scav
-                - self.wd[:, None, None] * tr("detrfe") * 0.5)
+            # ---- bottom fluxes (sgb = bottom-cell indicator;
+            # mobi_driver:985-1100, no subgrid bathymetry) ----------
+            sgb = botk
+            if self.nitrogen:
+                no3k = bk["no3"]
+                no3flag = _flag(no3k - TRCMIN)
+                d15flag = _flag(bk["din15"] - TRCMIN) if self.n15 \
+                    else 1.0
+                lno3 = 0.5 * jnp.tanh(no3k * 10.0 - 5.0)
+                sg_bdeni = (0.06 + 0.19 * 0.99
+                            ** (jnp.maximum(o2k, TRCMIN)
+                                - jnp.maximum(no3k, TRCMIN))) \
+                    * jnp.maximum(expo_r * sgb, TRCMIN) \
+                    * self.redctn * 1.0e3
+                sg_bdeni = jnp.minimum(sg_bdeni, sgb * expo_r)
+                sg_bdeni = jnp.maximum(sg_bdeni, 0.0) * p.sgbdfac
+                sg_bdeni = sg_bdeni * (0.5 + lno3) * no3flag \
+                    * d15flag * maskk
+                snpzd["no3"] = snpzd["no3"] + sgb * expo_r - sg_bdeni
+                if self.n15:
+                    rno3b = jnp.clip(
+                        jnp.maximum(bk["din15"],
+                                    TRCMIN * RN15STD / (1 + RN15STD))
+                        / jnp.maximum(no3k - bk["din15"],
+                                      TRCMIN * RN15STD
+                                      / (1 + RN15STD)),
+                        RN15STD / 2.0, 2.0 * RN15STD)
+                    eps_bd = p.eps_bdeni0 \
+                        * jnp.exp(-2.5e-6 * self.zt_m[k] * 100.0)
+                    bbdeni = rno3b - eps_bd * rno3b / 1000.0
+                    snpzd["din15"] = snpzd["din15"] \
+                        + rn15_r * sgb * expo_r \
+                        - bbdeni / (1 + bbdeni) * sg_bdeni
+            else:
+                sg_bdeni = zero2
+            if self.iron:
+                fesed = p.fetopsed * bctk * expo_phos_r * sgb
+                anox = 1.0 - _flag(o2k - p.o2min)
+                snpzd["dfe"] = snpzd["dfe"] + fesed \
+                    + expofe_r * sgb * anox
+                expofe_r = expofe_r - sgb * expofe_r * anox
+            snpzd["po4"] = snpzd["po4"] + sgb * expo_phos_r
+            if self.carbon:
+                snpzd["dic"] = snpzd["dic"] \
+                    + sgb * expo_r * self.redctn
+            if self.c13:
+                snpzd["dic13"] = snpzd["dic13"] \
+                    + rc13_r * sgb * self.redctn
+                rc13_r = rc13_r - sgb * rc13_r
+            sedcorg = sgb * expo_r          # organic rain into sed
+            expo_r = expo_r - sgb * expo_r
+            expo_phos_r = expo_phos_r - sgb * expo_phos_r
 
-        # ---- prognostic calcite (caco3) ------------------------------
-        if "caco3" in idx and "dic" in idx:
-            prod = p.capr * self.redctn * 1000.0 * npp_proxy
-            diss = 0.013 / DAYLEN * tr("caco3")
-            add("caco3", prod - diss
-                - self.wd[:, None, None] * tr("caco3") * 0.3)
-            add("dic", (diss - prod) * 1e-3)
-            if "alk" in idx:
-                add("alk", 2.0 * (diss - prod) * 1e-3)
+            dic_sms = snpzd["dic"] if self.carbon \
+                else snpzd["po4"] * self.redctp
 
-        # ---- carbon-13 family ----------------------------------------
-        if "dic13" in idx:
-            r13 = ratio("dic13", "dic", RSTD_C13)
-            src_dic = src[idx.idic]
-            uptake = jnp.minimum(src_dic, 0.0)     # biological drawdown
-            release = jnp.maximum(src_dic, 0.0)
-            add("dic13", uptake * r13 * ALPHA_P_C13 + release * r13)
-            for child, parent in (("phytc13", "phyt"),
-                                  ("zoopc13", "zoop"),
-                                  ("detrc13", "detr"),
-                                  ("diazc13", "diaz"),
-                                  ("doc13", "don"),
-                                  ("caco3c13", "caco3"),
-                                  ("diatc13", "diat")):
-                if child in idx and parent in idx:
-                    rp = ratio(child, parent, 7.0 * RSTD_C13)
-                    add(child, src[idx.index(parent)] * rp)
+            out = (jnp.stack([snpzd[n] for n in names]),
+                   dissl_r * maskk, calpro_r * maskk,
+                   expocaco3_r * maskk, expoopl_r * maskk,
+                   nfix_r * maskk, dic_sms, sedcorg, sg_bdeni)
+            new_carry = (
+                swr, phin, caco3in,
+                expo_r * self.dzt[k] * maskk,
+                expo_phos_r * self.dzt[k] * maskk,
+                expofe_r * self.dzt[k] * maskk,
+                expocaco3_r * self.dzt[k] * maskk * (1.0 - sgb),
+                expoopl_r * self.dzt[k] * maskk * (1.0 - sgb),
+                rc13_r * self.dzt[k] * maskk,
+                rcaco3c13_r * self.dzt[k] * maskk * (1.0 - sgb),
+                rn15_r)
+            return new_carry, out
 
-        # ---- nitrogen-15 family --------------------------------------
-        if "din15" in idx and "no3" in idx:
-            r15 = ratio("din15", "no3", RSTD_N15)
-            src_no3 = src[idx.ino3]
-            uptake = jnp.minimum(src_no3, 0.0)
-            release = jnp.maximum(src_no3, 0.0)
-            add("din15", uptake * r15 * ALPHA_P_N15 + release * r15)
-            for child, parent in (("phytn15", "phyt"),
-                                  ("zoopn15", "zoop"),
-                                  ("detrn15", "detr"),
-                                  ("diazn15", "diaz"),
-                                  ("don15", "don"),
-                                  ("diatn15", "diat")):
-                if child in idx and parent in idx:
-                    rp = ratio(child, parent, RSTD_N15)
-                    add(child, src[idx.index(parent)] * rp)
+        ks = jnp.arange(km)
+        kin = (ks, {n: jnp.moveaxis(b_all[n], 0, 0) for n in names},
+               bct, bctz, nud, o2um, dissk1, capr, ac13b, in_col,
+               is_bot)
+        carry0 = (swr0,) + (zero2,) * 10
+        _, (snpzd_k, rdissl, rcalpro, rexpocaco3, rexpoopl, rnfix,
+            dic_sms, sedcorg, rbdeni) = jax.lax.scan(level_step,
+                                                     carry0, kin)
+        # snpzd_k: (km, n_names, jmt, imt)
+        snpzd = jnp.moveaxis(snpzd_k, 0, 1)
+        sval = {n: snpzd[i] for i, n in enumerate(names)}
 
-        # ---- DIC-14 decay (tracer.F:630-645) -------------------------
-        if "c14" in idx:
-            add("c14", -C14_LAMBDA * tr("c14"))
-            if "dic" in idx:
-                add("c14", src[idx.idic] * RSTD_C13)
+        src = jnp.zeros_like(t_tm1)
+        for n in names:
+            src = src.at[idx[n]].set(sval[n])
 
-        # ---- Pa/Th reversible scavenging (protac_thor.F) -------------
-        if "pa231" in idx:
-            detr = tr("detr")
-            add("pa231", BETA_PA - K_SCAV_PA * detr * tr("pa231"))
-            add("th230", BETA_TH - K_SCAV_TH * detr * tr("th230"))
+        # ---- alkalinity base (mobi_driver:1249-1258) ----------------
+        if self.alk:
+            alk_src = -dic_sms * self.redntc * 1.0e-3 \
+                if self.carbon else jnp.zeros_like(dic_sms)
 
+        # ---- O2 / water-column denitrification (mobi_driver:
+        # 1283-1345, "2222" loop) -------------------------------------
+        if self.o2:
+            fo2 = 0.5 * jnp.tanh(o2um - 2.5)
+            so2 = dic_sms * self.redotc
+            if self.nitrogen:
+                so2 = so2 + rnfix * 1.25e-3
+                no3f = _flag(t_tm1[idx["no3"]] - TRCMIN)
+                d15f = _flag(t_tm1[idx["din15"]] - TRCMIN) \
+                    if self.n15 else 1.0
+                lno3 = 0.5 * jnp.tanh(t_tm1[idx["no3"]] - 2.5)
+                wcdeni = 800.0 * no3f * so2 * (0.5 - fo2) \
+                    * (0.5 + lno3) * d15f
+                wcdeni = jnp.maximum(wcdeni, 0.0) * in_col
+                src = src.at[idx["no3"]].add(-wcdeni)
+                if self.n15:
+                    no3v = t_tm1[idx["no3"]]
+                    di15 = t_tm1[idx["din15"]]
+                    uno3 = jnp.clip(wcdeni * c2dtts
+                                    / jnp.maximum(no3v, TRCMIN),
+                                    TRCMIN, 0.999)
+                    rno3 = jnp.clip(
+                        jnp.maximum(di15, TRCMIN * RN15STD
+                                    / (1 + RN15STD))
+                        / jnp.maximum(no3v - di15, TRCMIN * RN15STD
+                                      / (1 + RN15STD)),
+                        RN15STD / 2.0, 2.0 * RN15STD)
+                    bwc = rno3 + p.eps_wcdeni * (1 - uno3) / uno3 \
+                        * jnp.log1p(-uno3) * rno3 / 1000.0
+                    src = src.at[idx["din15"]].add(
+                        -(bwc / (1 + bwc)) * wcdeni)
+                if self.alk:
+                    # ALK stoichiometry corrections for denitrification
+                    # and N2 fixation (mobi_driver:1327-1334)
+                    alk_src = alk_src + wcdeni * 1.0e-3 \
+                        + rbdeni * 1.0e-3 - rnfix * 1.0e-3
+            src = src.at[idx.io2].set(-so2 * (0.5 + fo2) * in_col)
+
+        # ---- calcite / opal remineralization (mobi_driver "3333") --
+        if self.carbon:
+            if self.caco3:
+                dic_adj = (rdissl - rcalpro) * 1.0e-3 \
+                    + is_bot * rexpocaco3 * 1.0e-3
+                src = src.at[idx.idic].add(dic_adj * in_col)
+                if self.alk:
+                    alk_src = alk_src + 2.0 * dic_adj
+                if self.c13:
+                    rtdic13 = jnp.clip(
+                        jnp.maximum(t_tm1[idx["dic13"]],
+                                    TRCMIN * RC13STD / (1 + RC13STD))
+                        / jnp.maximum(t_tm1[idx.idic], TRCMIN),
+                        0.5 * RC13STD / (1 + RC13STD),
+                        2.0 * RC13STD / (1 + RC13STD))
+                    rtca13 = jnp.clip(
+                        jnp.maximum(t_tm1[idx["caco3c13"]],
+                                    TRCMIN * RC13STD / (1 + RC13STD))
+                        / jnp.maximum(t_tm1[idx["caco3"]], TRCMIN),
+                        0.5 * RC13STD / (1 + RC13STD),
+                        2.0 * RC13STD / (1 + RC13STD))
+                    src = src.at[idx["dic13"]].add(
+                        (rdissl * 1e-3 * rtca13
+                         - rcalpro * 1e-3 * rtdic13
+                         + is_bot * rexpocaco3 * 1e-3 * rtca13)
+                        * in_col)
+            else:
+                prca = jnp.sum(rcalpro * 1.0e-3
+                               * self.dzt[:, None, None] * in_col,
+                               axis=0)
+                not_bot = in_col * (1.0 - is_bot)
+                remin = prca[None] * (
+                    self.rcak[:, None, None] * not_bot
+                    + self.rcab[:, None, None] * is_bot)
+                src = src.at[idx.idic].add(
+                    (-rcalpro * 1.0e-3) * in_col + remin)
+                if self.alk:
+                    alk_src = alk_src - 2.0 * rcalpro * 1e-3 * in_col \
+                        + 2.0 * remin
+        if self.silicon:
+            src = src.at[idx["sil"]].add(is_bot * rexpoopl * in_col)
+        if self.alk:
+            src = src.at[idx.ialk].set(alk_src * in_col)
+
+        # ---- DIC-14 (tracer.F:630-645): decay + source slaved to the
+        # total DIC source at the standard ratio ----------------------
+        if self.c14 and self.carbon:
+            src = src.at[idx["c14"]].set(
+                (-C14_LAMBDA * t_tm1[idx["c14"]]
+                 + src[idx.idic] * RC13STD) * in_col)
+
+        # ---- Pa/Th reversible scavenging (protac_thor.F) ------------
+        if self.pa_th:
+            src = self._pa_th(src, t_tm1, in_col, is_bot, c2dtts)
+
+        return src
+
+    # ------------------------------------------------------------------
+    def _pa_th(self, src, t_tm1, in_col, is_bot, twodt):
+        """protac_thor_driver (protac_thor.F:355-554), vectorized.
+
+        The per-column flux chain F_in(k) = F_out(k-1) is a shift (the
+        partition is local in k), so each of the ntpath=2 substeps is
+        one vectorized sweep.  Tracers are carried in dpm/m^3 (linear
+        in concentration, so dpm works everywhere fmol does).
+        """
+        idx = self.idx
+        detr = jnp.maximum(t_tm1[idx["detr"]], TRCMIN)
+        # mmolN * redctn[molC/mmolN] = molC; * MW_C[kg/mol] -> kg C;
+        # * 2.199 -> kg POM (protac_thor.F:189-192)
+        pom = detr * self.redctn * MW_C * ORG_TO_C_MASS
+        caco3_kg = (jnp.maximum(t_tm1[idx["caco3"]], TRCMIN) * 1e-3
+                    * MW_CACO3) if self.caco3 else 0.0
+        opal_kg = (jnp.maximum(t_tm1[idx["opl"]], TRCMIN)
+                   * MW_OPAL) if self.silicon else 0.0
+        ctot = pom + caco3_kg + opal_kg
+        spm = 1.0e9 * ctot / RHOSW          # ug/kg
+        kref = (jnp.maximum(spm, 1e-12) ** PATH_SPM_EXP) * 1.0e7
+        # sinking speeds in m/s (protac_thor.F:197-199)
+        w_pom = (self.wd * 1e-2 * self.dzt)[:, None, None]
+        w_ca = (self.wc * 1e-2 * self.dzt)[:, None, None]
+        w_op = (self.wo * 1e-2 * self.dzt)[:, None, None]
+        dzm_r = (1.0 / self.dzt_m)[:, None, None]
+
+        ntpath = 2
+        dtp = twodt / ntpath
+        pa0 = t_tm1[idx["pa231"]]
+        th0 = t_tm1[idx["th230"]]
+
+        def partition_flux(x, kfac, beta, lam):
+            s_pom = kref * kfac["pom"] * pom / RHOSW
+            s_ca = kref * kfac["caco3"] * caco3_kg / RHOSW
+            s_op = kref * kfac["opal"] * opal_kg / RHOSW
+            s_tot = s_pom + s_ca + s_op
+            xd = x / (1.0 + s_tot)
+            f_out = (w_pom * s_pom + w_ca * s_ca + w_op * s_op) * xd
+            f_out = f_out * in_col
+            f_in = jnp.concatenate(
+                [jnp.zeros_like(f_out[:1]), f_out[:-1]], axis=0)
+            return beta - lam * jnp.maximum(x, TRCMIN) \
+                + (f_in - f_out) * dzm_r
+
+        pa, th = pa0, th0
+        for _ in range(ntpath):
+            pa = pa + dtp * partition_flux(jnp.maximum(pa, TRCMIN),
+                                           KPA_FAC, BETA_PA, LAMBDA_PA)
+            th = th + dtp * partition_flux(jnp.maximum(th, TRCMIN),
+                                           KTH_FAC, BETA_TH, LAMBDA_TH)
+        src = src.at[idx["pa231"]].set((pa - pa0) / twodt * in_col)
+        src = src.at[idx["th230"]].set((th - th0) / twodt * in_col)
         return src
