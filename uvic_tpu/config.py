@@ -114,6 +114,9 @@ class OceanConfig:
     ncon: int = 1                              # convection passes (ncon scheme)
     cdbot: float = 1.3e-3                      # bottom drag coefficient
     acor: float = 0.0                          # implicit coriolis factor
+    # O_restorst: Newtonian surface restoring toward climatology
+    # (uncoupled-ocean path; see io/timeforce.restoring_stf)
+    restorst: bool = False
     dampts: Tuple[float, ...] = (30.0, 60.0)   # restoring timescale [days] (T,S)
     dampdz: Tuple[float, ...] = (50.0e2, 50.0e2)
     # barotropic solver (control.in &riglid)
@@ -145,6 +148,14 @@ class OceanConfig:
     hlat_filter: str = "fir"                   # "fir" (O_firfil) | "fourier" (O_fourfil)
     # shortwave penetration (O_shortwave)
     shortwave: bool = False
+    # geothermal bottom heat flux (O_gthflx, updates/09 bhf.F)
+    gthflx: bool = False
+    # Large et al. (2001) tropical anisotropic viscosity
+    # (O_anisotropic_viscosity, updates/08 hmixc.F:66-147)
+    aniso_visc: bool = False
+    # Getzlaff & Dietze (2013) equatorial zonal isopycnal mixing
+    # (O_anisotropic_zonal_mixing, updates/08 isopyc.F:243-260)
+    aniso_zonal: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -187,6 +198,9 @@ class LandConfig:
 class SedConfig:
     enabled: bool = False                      # O_sed
     dtsed: float = 108000.0
+    # full Archer pore-water diagenesis columns (sediment.F co3/orgc
+    # solvers) vs the legacy interfacial closure
+    porewater: bool = True
 
 
 @dataclass(frozen=True)

@@ -54,6 +54,11 @@ class CoupledModel:
     def __init__(self, cfg: ModelConfig | None = None,
                  topo_kind: str = "world", kmt=None):
         cfg = cfg or ModelConfig()
+        # config consistency rules (checks.F + chkcpl): fatal
+        # inconsistencies raise; adjust-and-warn rules are kept for
+        # the caller/logs
+        from ..checks import validate
+        self.config_warnings = validate(cfg)
         self.cfg = cfg
         self.ocean = make_ocean(cfg, kmt=kmt, topo_kind=topo_kind)
         grid = self.ocean.params.grid
@@ -131,8 +136,14 @@ class CoupledModel:
                                    self.cfg.np_dtype)
         sed = None
         if self.cfg.sed.enabled:
-            from ..models.sed.sediment import init_sed_state
-            sed = init_sed_state(grid.jmt, grid.imt, self.cfg.np_dtype)
+            if self.cfg.sed.porewater:
+                from ..models.sed.porewater import init_porewater
+                sed = init_porewater(grid.jmt, grid.imt,
+                                     self.cfg.np_dtype)
+            else:
+                from ..models.sed.sediment import init_sed_state
+                sed = init_sed_state(grid.jmt, grid.imt,
+                                     self.cfg.np_dtype)
         cpts_st = None
         if self.cfg.ice.cpts > 0:
             from ..models.ice.cpts import init_cpts_state
@@ -468,23 +479,61 @@ class CoupledModel:
         sed = state.sed
         sfl = None
         if sed is not None and "dic" in self.ocean.tracer_index:
-            from ..models.bgc.gasx import co2calc_sws
-            from ..models.sed.sediment import sed_step
             idx = self.ocean.tracer_index
             kb = jnp.maximum(self.ocean.kmt - 1, 0)
             bt = jnp.take_along_axis(
                 state.ocean.t, kb[None, None], axis=1)[:, 0]
             sss_b = bt[1] * 1000.0 + 35.0
-            carb = co2calc_sws(jnp.clip(bt[0], -2, 35),
-                               jnp.clip(sss_b, 0, 45),
-                               bt[idx.idic],
-                               bt[idx.ialk] if "alk" in idx
-                               else 2.37 * jnp.ones_like(bt[0]),
-                               self.co2ccn)
             depth = jnp.asarray(self.topo.ht)
             seg_s = self.cfg.time.segtim_days * 86400.0
-            sed, sfl = sed_step(sed, carb["co3"] * 1e-3, depth,
-                                self.embm.tmsk, seg_s)
+            from ..models.sed.porewater import PoreWaterState
+            if isinstance(sed, PoreWaterState):
+                # Archer pore-water diagenesis columns.  Coupling uses
+                # the reference's burial-correction semantics (sed.F:
+                # 283-300): the water column keeps the instant bottom
+                # redeposit of the particle rain (mobi/npzd bottom
+                # source), and the sediment returns the CORRECTION
+                # (dissolution+respiration - rain), normally negative
+                # (net burial), as a bottom dic/alk flux.
+                from ..models.sed.porewater import porewater_step
+                mob = self.ocean.npzd[True] if self.ocean.npzd else None
+                z2 = jnp.zeros_like(bt[0])
+                rain_cal = z2
+                rain_org = z2
+                if mob is not None and "caco3" in idx:
+                    wc_b = jnp.take(mob.wc * mob.dzt, kb)
+                    rain_cal = bt[idx["caco3"]] * wc_b * 1.0e-9
+                if mob is not None and "detr" in idx:
+                    wd_b = jnp.take(mob.wd * mob.dzt, kb)
+                    redctn = getattr(mob, "redctn", 7.1e-3)
+                    rain_org = bt[idx["detr"]] * wd_b * 1.0e-6 * redctn
+                o2_bw = (bt[idx.io2] * 1e-3 if "o2" in idx
+                         else z2 + 1.5e-4)
+                alk_bw = (bt[idx.ialk] * 1e-3 if "alk" in idx
+                          else 2.37e-3 + z2)
+                sed, pw = porewater_step(
+                    sed, jnp.clip(bt[0], -2, 35),
+                    jnp.clip(sss_b, 0, 45), alk_bw,
+                    bt[idx.idic] * 1e-3, o2_bw, rain_cal, rain_org,
+                    depth * 1e-2, self.embm.tmsk, seg_s)
+                per_s = 1.0e6 / 3.15e7    # mol/cm^2/yr -> umol/cm^2/s
+                corr_cal = (pw["ttrcal"]
+                            - rain_cal * 3.15e7) * per_s
+                corr_org = (pw["ttrorg"]
+                            - rain_org * 3.15e7) * per_s
+                sfl = dict(dic=(corr_cal + corr_org) * self.embm.tmsk,
+                           alk=2.0 * corr_cal * self.embm.tmsk)
+            else:
+                from ..models.bgc.gasx import co2calc_sws
+                from ..models.sed.sediment import sed_step
+                carb = co2calc_sws(jnp.clip(bt[0], -2, 35),
+                                   jnp.clip(sss_b, 0, 45),
+                                   bt[idx.idic],
+                                   bt[idx.ialk] if "alk" in idx
+                                   else 2.37 * jnp.ones_like(bt[0]),
+                                   self.co2ccn)
+                sed, sfl = sed_step(sed, carb["co3"] * 1e-3, depth,
+                                    self.embm.tmsk, seg_s)
             state = state.replace(sed=sed)
 
         forcing = self.gosbc(acc, state, sst, sss, swr_mean, sed_flux=sfl)

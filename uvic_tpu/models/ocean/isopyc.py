@@ -56,8 +56,12 @@ def _taper(s_abs, sc, cfg, dtype):
 
 
 def compute_isopyc(t_tm1, tmask, kmt, eos_c, eos_to, eos_so, g, cfg,
-                   cyclic=True) -> IsopycFields:
-    """All isopycnal/GM fields from the tau-1 tracers (isopyc.F isopyc)."""
+                   cyclic=True, addisop=None) -> IsopycFields:
+    """All isopycnal/GM fields from the tau-1 tracers (isopyc.F isopyc).
+
+    addisop : optional (jmt,)-broadcastable ZONAL diffusivity addition
+    (O_anisotropic_zonal_mixing, updates/08 isopyc.F:243-260) applied
+    to the east-face coefficient only."""
     km = t_tm1.shape[1]
     dtype = t_tm1.dtype
     T, Ssal = t_tm1[0], t_tm1[1]
@@ -99,6 +103,10 @@ def compute_isopyc(t_tm1, tmask, kmt, eos_c, eos_to, eos_so, g, cfg,
     ai0_e = cfg.ahisop          # fisop structure function = 1 (no data file)
     ai0_n = cfg.ahisop
     ai0_b = cfg.ahisop
+    if addisop is not None:
+        # equatorial zonal enhancement enters the east-face (K11)
+        # coefficient only (isopyc.F:981 Ai0 = ahisop + addisop)
+        ai0_e = ai0_e + addisop[None, :, None]
 
     # ---- east face: Ai_ez, K11 (ai_east, isopyc.F:544-640) -----------
     mask_e = tmask * E(tmask)

@@ -284,6 +284,21 @@ def clinic_step(u_tau, u_tm1, rho, veu, vnu, vbu, smf, bmf,
             from .hmix import smag_momentum_terms
             diff_ux, diff_uy, diff_metric_var = smag_momentum_terms(
                 hmix[1], hmix[2], hmix[3], g, hmix[4], n)
+        elif hmix is not None and hmix[0] == "aniso":
+            # Large et al. 2001 anisotropic viscosity (updates/08
+            # clinic.F:75-82, 223-236): 3-D visc_ceu on zonal faces,
+            # visc_cnu in the meridional flux coefficients; the metric
+            # terms keep the constant-am form (fdifm.h unchanged by
+            # the option)
+            visc_ceu, visc_cnu = hmix[1], hmix[2]
+            diff_fe = visc_ceu * (am_csudxtr / g.am) \
+                * (E(un_tm1) - un_tm1)
+            diff_ux = (diff_fe - W(diff_fe)) * csudxur
+            diff_uy = (visc_cnu * (amc_n / g.am)
+                       * (N(un_tm1) - un_tm1)
+                       - visc_cnu * (amc_s / g.am)
+                       * (un_tm1 - S(un_tm1)))
+            diff_metric_var = None
         elif hmix is not None:
             from .hmix import momentum_bihar_terms
             diff_ux = momentum_bihar_terms(u_tm1, umask, g, hmix[1],

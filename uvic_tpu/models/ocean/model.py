@@ -205,6 +205,54 @@ class OceanModel:
         self.visc_cbu = jnp.full((km, jmt, imt), cfg.ocean.kappa_m, dtype=dt)
         self.dztxcl = jn(g.dzt) / bag.dtxcel
 
+        # tidal-mixing dissipation field (O_tidal_kv): the reference
+        # reads constituent maps from O_tidenrg*.nc (setmom.F:130-160,
+        # absent upstream); default is the documented bottom-deposit
+        # placeholder, replaceable via `model.tidal_edr = ...`
+        self.tidal_edr = None
+        self.tlat_deg = jn(np.broadcast_to(
+            np.asarray(g.yt)[:, None], (jmt, imt)))
+        if cfg.ocean.tidal_kv:
+            from .vmix import default_tidal_edr
+            self.tidal_edr = default_tidal_edr(
+                np.asarray(topo.kmt), np.asarray(g.dzt))
+            self.tidal_zw = jn(np.asarray(g.zw)[:km])
+
+        # anisotropic viscosity / zonal-mixing static fields
+        self.aniso_visc = None
+        self.addisop = None
+        if cfg.ocean.aniso_visc:
+            from .aniso import large_anisotropic_viscosity
+            vce, vcn = large_anisotropic_viscosity(
+                np.asarray(g.yu), np.asarray(g.dxu), np.asarray(g.dyu),
+                np.asarray(topo.umask)[0], np.asarray(g.zw)[:km],
+                cfg.ocean.am, cyclic=g.cyclic)
+            self.aniso_visc = (jn(vce), jn(vcn))
+        if cfg.ocean.aniso_zonal:
+            from .aniso import equatorial_zonal_diffusivity
+            self.addisop = jn(equatorial_zonal_diffusivity(
+                np.asarray(g.yt)))
+
+        # geothermal bottom heat flux (O_gthflx): static host-evaluated
+        # Hamza et al. (2007) harmonic field (setmom.F:1749-1754)
+        self.bhf = None
+        if cfg.ocean.gthflx:
+            from .gthflx import geoheatflux_field
+            self.bhf = jn(geoheatflux_field(np.asarray(g.xt),
+                                            np.asarray(g.yt)))
+
+        # shortwave penetration profile (O_shortwave, setmom.F:376-410):
+        # Paulson & Simpson double exponential; pen(0)=0 compensates the
+        # shortwave already included in the surface flux stf(temp)
+        self.divpen = None
+        if cfg.ocean.shortwave:
+            zw = np.asarray(g.zw)[:km]
+            rpart, efold1, efold2 = 0.58, 35.0, 23.0e2  # cm
+            pen = rpart * np.exp(-np.minimum(zw / efold1, 70.0)) \
+                + (1.0 - rpart) * np.exp(-np.minimum(zw / efold2, 70.0))
+            pen0 = np.concatenate([[0.0], pen[:-1]])
+            self.divpen = jn((pen0 - pen) / np.asarray(g.dzt))
+
         # high-latitude zonal filters (setcom.F:101-132) precomputed as
         # per-(level,row) matrices applied as one batched matmul
         if cfg.ocean.fourfil:
@@ -379,6 +427,10 @@ class OceanModel:
         stf = forcing.stf * self.tmask[0][None]
         btf = (jnp.zeros_like(stf) if forcing.btf is None
                else forcing.btf * self.tmask[0][None])
+        if self.bhf is not None:
+            # geothermal heating of the deepest wet cell; negative =
+            # upward into the bottom (setvbc.F updates/09:74-76)
+            btf = btf.at[0].add(-self.bhf * self.tmask[0])
         if cfg.cdbot != 0.0:
             kb = jnp.maximum(self.kmu - 1, 0)
             ub = jnp.take_along_axis(u_tm1, kb[None, None], axis=1)[:, 0]
@@ -403,7 +455,16 @@ class OceanModel:
             from .isopyc import compute_isopyc
             iso = compute_isopyc(tm1, self.tmask, self.kmt, self.eos_c,
                                  self.eos_to, self.eos_so, g, cfg,
-                                 self.cyclic)
+                                 self.cyclic, addisop=self.addisop)
+            if cfg.tidal_kv:
+                # tidal-dissipation mixing (O_tidal_kv, updates/08
+                # vmixc.F): needs the bottom-face density gradient
+                from .vmix import tidal_kv_diff
+                drodzb0 = iso.alphai * iso.ddzt[0] \
+                    + iso.betai * iso.ddzt[1]
+                diff_cbt_base = tidal_kv_diff(
+                    drodzb0, self.kmt, self.tidal_zw, self.tlat_deg,
+                    self.tidal_edr, diff_cbt_base)
             diff_cbt = diff_cbt_base + iso.K33
             if cfg.gent_mcwilliams:
                 vet_t = vet + iso.vetiso
@@ -432,6 +493,23 @@ class OceanModel:
                     forcing.hice, forcing.hsno, self.tlat_rad,
                     forcing.relyr, c2dtts=c2dtts)
 
+        # penetrative shortwave heating (swflux0, tracer.F:1787-1840):
+        # redistribute the solar part of the surface heat flux through
+        # the column with the divpen profile; 2.389e-8 converts
+        # erg/cm^2/s to K cm/s (gosbc fh factor)
+        if self.divpen is not None:
+            psw = forcing.swr * 2.389e-8
+            if forcing.aice is not None:
+                ki = 5.0e-2   # ice/snow attenuation [1/cm] (npzd ki)
+                psw = psw * (1.0 + forcing.aice * (
+                    jnp.exp(-ki * (forcing.hice + forcing.hsno)) - 1.0))
+            sw_src = (psw[None] * self.divpen[:, None, None]
+                      * self.tmask)
+            if source is None:
+                source = jnp.zeros_like(tm1).at[0].set(sw_src)
+            else:
+                source = source.at[0].add(sw_src)
+
         # variable horizontal mixing (smagnl.F / O_biharmonic)
         hmix_t = hmix_u = None
         if cfg.hmix == "smagnl":
@@ -445,6 +523,10 @@ class OceanModel:
         elif cfg.hmix == "biharmonic":
             hmix_t = ("biharmonic", cfg.ahbi)
             hmix_u = ("biharmonic", cfg.ambi)
+        if self.aniso_visc is not None and hmix_u is None:
+            # Large et al. 2001 anisotropic momentum mixing rides the
+            # consthmix path with 3-D coefficients
+            hmix_u = ("aniso", self.aniso_visc[0], self.aniso_visc[1])
 
         # tracer step (tracer.F)
         t_new = tracer_step(
@@ -524,6 +606,21 @@ class OceanModel:
             itt=state.itt + 1,
             nconv=_count_nconv(state.nconv, conv),
         )
+
+    # ------------------------------------------------------------------
+    def apply_restoring(self, forcing: SurfaceForcing,
+                        state: OceanState, sst_field, sss_field,
+                        relyr=0.0) -> SurfaceForcing:
+        """O_restorst: replace the T/S surface-flux rows with Newtonian
+        restoring toward time-interpolated climatology (data.F:119-142,
+        checks.F:240-265).  sst_field/sss_field are
+        ``io.timeforce.TimeInterpField`` (or None to leave a row)."""
+        from ...io.timeforce import restoring_stf
+        o = self.cfg.ocean
+        stf = restoring_stf(forcing.stf, state.t[:, 0], sst_field,
+                            sss_field, relyr, o.dampts, o.dampdz,
+                            self.tmask[0])
+        return forcing.replace(stf=stf)
 
     # ------------------------------------------------------------------
     def step(self, state: OceanState, forcing: SurfaceForcing,

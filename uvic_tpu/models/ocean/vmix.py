@@ -86,21 +86,67 @@ def ppmix_coefficients(t_tracers, u_full, tmask, umask, eos_c, eos_to,
     return setbcx(diff_cbt, cyclic), setbcx(visc_cbu, cyclic)
 
 
-def tidal_kv_addition(drodzb, kmt, zw, edr, gamma=0.2, zeta_cm=500.0e2,
-                      kappa_max=10.0):
-    """Tidal-dissipation diffusivity addition (vmixc.F:77-103,
-    O_tidal_kv): kappa = gamma*Gamma*eps/(rho N^2) with an exponential
-    decay above the bottom. ``edr`` is the energy-dissipation field the
-    reference reads from a data file; pass zeros to disable."""
+def tidal_kv_diff(drodzb, kmt, zw_cm, tlat_deg, edr, base_diff,
+                  zeta_cm=500.0e2, kappa_cap=100.0):
+    """Tidal-mixing vertical diffusivity (O_tidal_kv, updates/08
+    vmixc.F:55-120; Simmons et al. 2004 / Schmittner & Egbert 2013).
+
+    kappa(k) = ogamma * edr(k) / N^2 where edr(k) sums the tidal
+    energy-dissipation of every deeper level with an exponential
+    vertical structure F(z) = exp(-(zw(k1)-zw(k))/zeta) normalized by
+    (1 - exp(-zw(k1)/zeta)); the M2/S2 constituents are damped
+    equatorward of 70 deg and K1/O1 equatorward of 30 deg (critical
+    latitudes, vmixc.F:62-80).  Returns the full diff_cbt field:
+    max(base, min(cap, kappa + base)) (vmixc.F:112-118).
+
+    drodzb : (km, jmt, imt) d(rho)/dz at T-cell bottoms (isopyc)
+    edr    : dict of per-constituent (km, jmt, imt) dissipation
+             [g/s^3] with keys m2, s2, k1, o1 (the reference's
+             O_tidenrg data), or a single combined array.
+    """
     km = drodzb.shape[0]
-    zn2 = -(GRAV / 1.035) * drodzb
-    levels = jnp.arange(km).reshape(km, 1, 1)
-    zw_k = zw[:km].reshape(km, 1, 1)
-    depth = jnp.take(zw, jnp.maximum(kmt - 1, 0))[None]
-    hab = zw_k - depth + jnp.take(zw, jnp.maximum(kmt - 1, 0))[None] * 0
-    hab = depth - zw_k                      # height above bottom
+    rho0r = 1.0 / 1.035
+    gravrho0r = GRAV * rho0r
     zetar = 1.0 / zeta_cm
-    denom = zn2 * (1.0 - jnp.exp(-zetar * depth)) + 1.0e-30
-    zkappa = 0.33 * gamma * edr[None] * jnp.exp(-hab * zetar) / denom
-    zkappa = jnp.where(zn2 > 0, zkappa, 0.0)
-    return jnp.clip(zkappa, 0.0, kappa_max)
+    ogamma = 0.2 * rho0r * zetar          # Osborn 1980 / (zeta rho0)
+
+    lat = jnp.abs(tlat_deg)[None]
+    if isinstance(edr, dict):
+        q2 = jnp.where(lat < 70.0, 0.33, 1.0)
+        qk1 = jnp.where(lat < 30.0, 0.33, 1.0)
+        e_tot = q2 * (edr["m2"] + edr["s2"]) \
+            + qk1 * edr["k1"] + qk1 * edr["o1"]
+    else:
+        e_tot = edr
+
+    levels = jnp.arange(km).reshape(km, 1, 1)
+    in_col = (levels < kmt[None])
+    zw_k = zw_cm[:km].reshape(km, 1, 1)
+    # w(k1) = E(k1) exp(-zw(k1)/zeta) / (1 - exp(-zw(k1)/zeta))
+    w = e_tot * jnp.exp(-zw_k * zetar) \
+        / (1.0 - jnp.exp(-zetar * zw_k)) * in_col
+    # suffix sum over k1 > k, then the exp(zw(k)/zeta) prefactor
+    suffix = jnp.flip(jnp.cumsum(jnp.flip(w, 0), axis=0), 0)
+    s_above = jnp.concatenate([suffix[1:], jnp.zeros_like(w[:1])], 0)
+    edr_k = jnp.exp(zw_k * zetar) * s_above
+
+    zn2 = jnp.maximum(-gravrho0r * drodzb, 1e-8)
+    zkappa = ogamma * edr_k / zn2
+    diff = jnp.clip(zkappa + base_diff, base_diff, kappa_cap)
+    # only interior faces of wet columns (k = 1..kmt-1)
+    face_ok = (levels < (kmt - 1)[None])
+    return jnp.where(face_ok, diff, base_diff)
+
+
+def default_tidal_edr(kmt, dzt_cm, e0_gs3=3.5):
+    """Placeholder tidal-dissipation field when the reference's
+    O_tidenrg data file is unavailable: the global-mean ~1 TW of tidal
+    dissipation (~3.5 g/s^3 column-integrated, Jayne & St. Laurent
+    2001) deposited in the bottom cell of every column.  Swap for the
+    real constituent maps via `tidal_kv_diff(edr=dict(...))` when data
+    exists."""
+    km = dzt_cm.shape[0]
+    levels = np.arange(km).reshape(km, 1, 1)
+    kmtn = np.asarray(kmt)
+    is_bot = (levels == np.maximum(kmtn - 1, 0)[None]) & (kmtn > 0)[None]
+    return jnp.asarray(np.where(is_bot, e0_gs3, 0.0))
