@@ -1,0 +1,85 @@
+"""Explicit-halo shard_map ocean step == single-device step.
+
+The ShardedOceanStep packs all stencil state into one array, exchanges
+halos ONCE per step (two ppermute pairs), and runs the unchanged
+whole-domain kernels on halo-padded local blocks (SURVEY.md §7.2-8).
+Every kept cell must compute exactly the global answer — the halo width
+must exceed the full stencil composition depth, which these tests pin
+down for both the plain and the isopycnal/GM configurations.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uvic_tpu.config import small_config
+from uvic_tpu.parallel.mesh import make_mesh, shard_pytree
+from uvic_tpu.parallel.shard_step import ShardedOceanStep
+
+
+def _setup(isopyc, jmt=34, imt=40):
+    from uvic_tpu.models.ocean.model import make_forcing, make_ocean
+    cfg = small_config(imt=imt, jmt=jmt, km=8)
+    cfg = cfg.replace(ocean=dataclasses.replace(
+        cfg.ocean, isopycmix=isopyc, gent_mcwilliams=isopyc,
+        dtts=43200.0, dtuv=1800.0, dtsf=1800.0, tolrsf=1e0,
+        mxscan=2000))
+    m = make_ocean(cfg)
+    g = m.params.grid
+    t0 = np.zeros((2, g.km, g.jmt, g.imt))
+    t0[0] = (20.0 * np.exp(-np.asarray(g.zt) / 1000e2))[:, None, None]
+    t0 *= np.asarray(m.params.topo.tmask)
+    state = m.init_state(t0)
+    yu = np.asarray(g.yu)
+    taux = np.sin(np.deg2rad(yu * 3))[:, None] * np.ones((1, g.imt))
+    smf = np.stack([taux / 1.035, np.zeros_like(taux)])
+    stf = np.zeros((m.nt, g.jmt, g.imt))
+    forcing = make_forcing(jnp.asarray(smf), jnp.asarray(stf))
+    primed = jax.tree_util.tree_map(
+        np.asarray, m.step(state, forcing, leapfrog=False))
+    return m, primed, forcing
+
+
+@pytest.mark.parametrize("isopyc,shape,halo", [
+    (False, (2, 4), 8),
+    (False, (1, 8), 5),
+    (True, (2, 2), 10),
+])
+def test_shardmap_step_equivalence(isopyc, shape, halo):
+    assert len(jax.devices()) >= 8
+    m, primed, forcing = _setup(isopyc)
+    nsteps = 3
+
+    ref = jax.tree_util.tree_map(jnp.asarray, primed)
+    step1 = jax.jit(lambda s, f: m._step(s, f, leapfrog=True))
+    for _ in range(nsteps):
+        ref = step1(ref, forcing)
+
+    mesh = make_mesh(shape)
+    ss = ShardedOceanStep(m, mesh, halo=halo)
+    s8 = shard_pytree(jax.tree_util.tree_map(jnp.asarray, primed), mesh)
+    f8 = shard_pytree(forcing, mesh)
+    for _ in range(nsteps):
+        s8 = ss.step(s8, f8, leapfrog=True)
+
+    np.testing.assert_allclose(np.asarray(jax.device_get(s8.t)),
+                               np.asarray(ref.t), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(jax.device_get(s8.u)),
+                               np.asarray(ref.u), rtol=1e-7, atol=1e-9)
+
+
+def test_shardmap_forward_step():
+    """Mixing (forward) steps also agree."""
+    m, primed, forcing = _setup(False)
+    mesh = make_mesh((2, 4))
+    ss = ShardedOceanStep(m, mesh, halo=8)
+
+    ref = m._step(jax.tree_util.tree_map(jnp.asarray, primed), forcing,
+                  leapfrog=False)
+    s8 = shard_pytree(jax.tree_util.tree_map(jnp.asarray, primed), mesh)
+    out = ss.step(s8, shard_pytree(forcing, mesh), leapfrog=False)
+    np.testing.assert_allclose(np.asarray(jax.device_get(out.t)),
+                               np.asarray(ref.t), rtol=1e-9, atol=1e-11)

@@ -310,6 +310,24 @@ class OceanModel:
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
             on_tpu = False
+        # fused Pallas tracer step (FCT + diffusion + invtri in one
+        # VMEM-resident kernel, ops/pallas_tracer.py): the XLA roll
+        # cascade is the step's dominant HBM-traffic term
+        self.pallas_tracer = None
+        if on_tpu and cfg.parallel.mesh_shape == (1, 1) \
+                and cfg.np_dtype == np.float32 \
+                and cfg.ocean.tracer_advection == "fct" \
+                and cfg.ocean.hmix == "const":
+            from ...ops.pallas_tracer import make_fct_tracer_step
+            has_src = (self.npzd is not None
+                       or self.divpen is not None
+                       or cfg.ocean.isopycmix)
+            self.pallas_tracer = make_fct_tracer_step(
+                self.nt, km, jmt, imt, self.g, cfg.ocean.ah,
+                cfg.ocean.aidif if cfg.ocean.isopycmix else 0.0,
+                ydiff_fluxform=cfg.ocean.isopycmix, has_src=has_src,
+                dtype=jnp.float32)
+
         if on_tpu and cfg.parallel.mesh_shape == (1, 1) \
                 and cfg.ocean.acor == 0.0 and not self.sp_mode \
                 and cfg.np_dtype == np.float32:  # Pallas TPU lowers f32 only
@@ -528,12 +546,34 @@ class OceanModel:
             # consthmix path with 3-D coefficients
             hmix_u = ("aniso", self.aniso_visc[0], self.aniso_visc[1])
 
-        # tracer step (tracer.F)
-        t_new = tracer_step(
-            t_tau, tm1, vet_t, vnt_t, vbt_t, stf, btf, source,
-            diff_cbt, self.kmt, self.tmask, g, c2dtts,
-            cfg.tracer_advection, aidif, self.cyclic, iso=iso,
-            hmix=hmix_t)
+        # tracer step (tracer.F): fused Pallas kernel on TPU, XLA
+        # whole-domain graph otherwise (identical numerics, tested)
+        if self.pallas_tracer is not None and hmix_t is None:
+            if iso is not None:
+                # Redi flux divergence folded in as an extra tendency
+                # (linear split of the tracer.F:711-727 diffusion)
+                from ...ops.stencil import E, N, S, UP, W
+                from .isopyc import isoflux
+                fe_i, fn_i, fb_i = isoflux(iso, tm1, self.tmask, g,
+                                           self.cyclic)
+                tmask = self.tmask
+                iso_tend = (
+                    (fe_i * E(tmask)[None] - W(fe_i) * W(tmask)[None])
+                    * g.cstdxtr[None, None]
+                    + (fn_i * N(tmask)[None]
+                       - S(fn_i) * S(tmask)[None])
+                    * (1.0 / (g.cst * g.dyt))[None, None, :, None]
+                    + (UP(fb_i) - fb_i) * g.dztr[None, :, None, None])
+                source = iso_tend if source is None else source + iso_tend
+            t_new = self.pallas_tracer(
+                t_tau, tm1, vet_t, vnt_t, vbt_t, diff_cbt, stf, btf,
+                source, c2dtts * g.dtxcel, self.tmask, self.kmt)
+        else:
+            t_new = tracer_step(
+                t_tau, tm1, vet_t, vnt_t, vbt_t, stf, btf, source,
+                diff_cbt, self.kmt, self.tmask, g, c2dtts,
+                cfg.tracer_advection, aidif, self.cyclic, iso=iso,
+                hmix=hmix_t)
 
         # convective adjustment (convect.F)
         if cfg.convection == Convection.FULL:
