@@ -174,8 +174,8 @@ def exchange_pad(f, w: int, yname: str, xname: str, ny: int, nx: int):
     is_first = ix == 0
     is_last = ix == nx - 1
     lx = f.shape[-1]
-    send_e = jnp.where(is_last, f[..., lx - 1 - w:lx - 1], f[..., lx - w:])
-    send_w = jnp.where(is_first, f[..., 1:1 + w], f[..., :w])
+    send_e = jnp.where(is_last, f[..., lx - 2 - w:lx - 2], f[..., lx - w:])
+    send_w = jnp.where(is_first, f[..., 2:2 + w], f[..., :w])
     fwd = [(i, (i + 1) % nx) for i in range(nx)]
     bwd = [(i, (i - 1) % nx) for i in range(nx)]
     wh = jax.lax.ppermute(send_e, xname, fwd)   # from west neighbor
