@@ -97,3 +97,104 @@ def test_seasonal_insolation():
     state = m.init_state()
     state = m.run(state, 2)
     assert not bool(jnp.isnan(state.atm.at).any())
+
+
+def test_transient_volcanic_cools():
+    """A volcanic solar reduction lowers SAT vs an unforced twin
+    (solardata/volcdata application through fluxes.F solins)."""
+    def make():
+        cfg = small_config()
+        cfg = cfg.replace(ocean=dataclasses.replace(
+            cfg.ocean, isopycmix=False, gent_mcwilliams=False,
+            dtts=43200.0, dtuv=1800.0, dtsf=1800.0, tolrsf=1e8))
+        return CoupledModel(cfg)
+
+    m0, m1 = make(), make()
+    s0, s1 = m0.init_state(), m1.init_state()
+    s0 = m0.run(s0, 3)
+    # big volcanic spike: 5% solar reduction for the whole window
+    from uvic_tpu.io.forcing import TransientForcing, TransientSeries
+    m1.set_transient_forcing(TransientForcing(
+        co2=TransientSeries.constant(280.0),
+        solar=TransientSeries.constant(1.368e6),
+        volcanic=TransientSeries.constant(0.05 * 1.368e6),
+        c14=TransientSeries.constant(0.0)))
+    s1 = m1.run(s1, 3)
+    assert m1.solar_scale < 1.0
+    sat0 = float(jnp.mean(s0.atm.at[0]))
+    sat1 = float(jnp.mean(s1.atm.at[0]))
+    assert sat1 < sat0 - 0.05, (sat0, sat1)
+
+
+def test_transient_sulphate_and_c14():
+    """Sulphate albedo reduction cools; dc14ccn reaches the c14 air-sea
+    flux (gasbc.F:652-654 via surface_gas_fluxes)."""
+    import uvic_tpu.models.bgc.gasx as gasx
+    from uvic_tpu.coupler.tracers import TracerIndex, build_registry
+    from uvic_tpu.config import BgcConfig
+
+    # unit-level: c14 flux responds to dc14ccn
+    jmt = imt = 4
+    sst = jnp.full((jmt, imt), 20.0)
+    sss = jnp.full((jmt, imt), 35.0)
+    wspd = jnp.full((jmt, imt), 700.0)
+    ao = jnp.ones((jmt, imt))
+    idx = TracerIndex(build_registry(BgcConfig(
+        suite="mobi", carbon=True, alk=True, o2=True, carbon_14=True)))
+    nt = len(idx.tracers)
+    surf = jnp.zeros((nt, jmt, imt))
+    surf = surf.at[idx.idic].set(2.3).at[idx.ialk].set(2.4)
+    surf = surf.at[idx["c14"]].set(2.2).at[idx.io2].set(0.2)
+    f0, _ = gasx.surface_gas_fluxes(sst, sss, wspd, ao, surf, idx,
+                                    dc14ccn=0.0)
+    f1, _ = gasx.surface_gas_fluxes(sst, sss, wspd, ao, surf, idx,
+                                    dc14ccn=500.0)
+    assert float(f1[idx["c14"]].mean()) > float(f0[idx["c14"]].mean())
+
+    # sulphate field reduces downward shortwave in the EMBM
+    cfg = small_config()
+    cfg = cfg.replace(ocean=dataclasses.replace(
+        cfg.ocean, isopycmix=False, gent_mcwilliams=False,
+        dtts=43200.0, dtuv=1800.0, dtsf=1800.0, tolrsf=1e8))
+    m = CoupledModel(cfg)
+    state = m.init_state()
+    fl0 = m.embm.fluxes(state.atm, state.ocean.t[0, 0])
+    fl1 = m.embm.fluxes(state.atm, state.ocean.t[0, 0],
+                        sulph=0.05 * m._sulph_pattern)
+    d = np.asarray(fl0["dnswr"] - fl1["dnswr"])
+    assert d.max() > 0.0 and d.min() >= 0.0
+
+
+def test_land_gc_feedback():
+    """MTLM canopy conductance changes the EMBM land evaporation
+    (glsbc.F / fluxes.F O_mtlm land branch)."""
+    cfg = small_config()
+    cfg = cfg.replace(
+        ocean=dataclasses.replace(
+            cfg.ocean, isopycmix=False, gent_mcwilliams=False,
+            dtts=43200.0, dtuv=1800.0, dtsf=1800.0, tolrsf=1e8),
+        land=dataclasses.replace(cfg.land, enabled=True))
+    m = CoupledModel(cfg)
+    state = m.init_state()
+    # wet soil so the land branch evaporates
+    state = state.replace(atm=state.atm.replace(
+        soilm=jnp.full_like(state.atm.soilm, 10.0)))
+    lmsk = np.asarray(m.embm.lmsk) > 0
+
+    fl_closed = m.embm.fluxes(state.atm, state.ocean.t[0, 0],
+                              land_gc=jnp.full_like(state.atm.soilm,
+                                                    1e-12))
+    fl_open = m.embm.fluxes(state.atm, state.ocean.t[0, 0],
+                            land_gc=jnp.full_like(state.atm.soilm, 1.0))
+    ev_c = np.asarray(fl_closed["evap"])[lmsk]
+    ev_o = np.asarray(fl_open["evap"])[lmsk]
+    assert ev_o.mean() >= ev_c.mean()
+    assert (np.asarray(fl_open["evap"]) >= 0).all()
+
+    # end-to-end: a segment with land enabled produces a gc field and
+    # the nep diagnostic
+    state = m.run(state, 2)
+    assert state.land is not None
+    assert float(jnp.abs(state.land.gc).max()) > 0.0
+    assert m.last_nep_kgC_s is not None
+    assert not bool(jnp.isnan(state.atm.at).any())

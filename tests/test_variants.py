@@ -45,12 +45,10 @@ def test_euler_backward_mixing():
     assert int(s.itt) == 20
 
 
-@pytest.mark.xfail(reason="9-point operator: time-stepping feedback "
-                   "unstable beyond the checkerboard deflation; the "
-                   "solver itself converges on manufactured problems. "
-                   "5-point is the reference default (run/mk.in "
-                   "O_sf_5_point); 9pt stabilization is round-2 work.")
 def test_sfc9pt_operator():
+    """Stable since the active-constant CG deflation (ops/solvers.py):
+    the 9-pt instability was secular null-mode drift, not the
+    checkerboard (which was already deflated)."""
     m, s, f = _setup(sf_npt=9)
     s = m.run(s, f, 15)
     assert not bool(jnp.isnan(s.psi0).any())

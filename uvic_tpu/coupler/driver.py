@@ -65,7 +65,14 @@ class CoupledModel:
         topo = self.ocean.params.topo
         self.grid = grid
         self.topo = topo
-        self.embm = EmbmModel(grid, topo, cfg.embm, dtype=cfg.np_dtype)
+        elev = None
+        if topo_kind == "earth":
+            # coarse real orography for the EMBM lapse-rate terms
+            # (setembm.F elevation data analog, core/earth.py)
+            from ..core.earth import earth_elevation
+            elev = earth_elevation(grid)
+        self.embm = EmbmModel(grid, topo, cfg.embm, dtype=cfg.np_dtype,
+                              elev=elev)
 
         # coupling cadence (chkcpl semantics)
         seg_s = cfg.time.segtim_days * 86400.0
@@ -81,6 +88,12 @@ class CoupledModel:
         self.co2ccn = 280.0     # atmospheric CO2 [ppmv] (co2ccn)
         self.anthro = 0.0       # CO2 radiative forcing (co2forc)
         self.cfcccn = None      # (cfc11 N,S, cfc12 N,S) [pptv]
+        self.dc14ccn = 0.0      # atmospheric Delta-14C [permil]
+        self.solar_scale = 1.0  # transient (solar - volcanic)/solarconst
+        self.sulph = None       # sulphate coalbedo-reduction field
+        from ..io.forcing import sulphate_pattern
+        self._sulph_pattern = jnp.asarray(
+            sulphate_pattern(grid.yt, imt=grid.imt), dtype=cfg.np_dtype)
         self.awind = None
         if cfg.embm.awind:
             from ..models.embm.winds import WindFeedback
@@ -99,6 +112,12 @@ class CoupledModel:
             np.broadcast_to(f[:, None], (jmt, imt)), dtype=cfg.np_dtype)
         self.umsk = jnp.asarray((topo.kmu > 0).astype(np.float64),
                                 dtype=cfg.np_dtype)
+        # land-cell areas [cm^2] for the global nep integral (gasbc.F)
+        self.area2d_land = jnp.asarray(
+            (grid.cst[:, None] * grid.dyt[:, None] * grid.dxt[None, :])
+            * np.asarray(self.embm.lmsk), dtype=cfg.np_dtype)
+        self.last_nep_kgC_s = None
+
         # river routing (rivmodel)
         from ..models.embm.rivers import RiverModel
         area_full = (grid.cst[:, None] * grid.dyt[:, None]
@@ -120,6 +139,7 @@ class CoupledModel:
 
         self._atm_ice_step = jax.jit(self._atm_ice_step_impl,
                                      static_argnames=("mixing",))
+        self._segment_jit = None   # fused-segment program cache
 
     # ------------------------------------------------------------------
     def init_state(self, t_init=None) -> CoupledState:
@@ -178,15 +198,25 @@ class CoupledModel:
     # ------------------------------------------------------------------
     def _atm_ice_step_impl(self, atm: AtmState, ice: IceState, sst, frzpt,
                            uocn, vocn, anthro, wind_pkg=None,
-                           solins=None, cpts_st=None, *, mixing: bool):
+                           solins=None, cpts_st=None, land_gc=None,
+                           sulph=None, *, mixing: bool):
         """One atmosphere step with the ice model inside (embm.F:39-95).
         wind_pkg: optional (winds, wspd, taux_w, tauy_w) from the
         anomalous-wind feedback (winds.F add_awind).
-        solins: optional seasonal TOA insolation (else annual mean)."""
+        solins: optional seasonal TOA insolation (else annual mean).
+        land_gc: MTLM canopy conductance [cm/s] from the previous land
+        step — the land->atm feedback channel (glsbc.F)."""
         embm = self.embm
         cfg = self.cfg.embm
-        dts = cfg.dtatm if mixing else 2.0 * cfg.dtatm
-        at_old = atm.at if mixing else atm.atm1
+        if isinstance(mixing, bool):
+            dts = cfg.dtatm if mixing else 2.0 * cfg.dtatm
+            at_old = atm.at if mixing else atm.atm1
+        else:
+            # traced mixing flag (the fused-segment scan path): select
+            # the timestep and time level with `where`, one trace
+            # covers both step kinds (mom.F-style leapfrog control)
+            dts = jnp.where(mixing, cfg.dtatm, 2.0 * cfg.dtatm)
+            at_old = jnp.where(mixing, atm.at, atm.atm1)
         if wind_pkg is None:
             winds_a, wspd_a = embm.winds, embm.wspd
             taux_w, tauy_w = self.taux_w, self.tauy_w
@@ -195,7 +225,7 @@ class CoupledModel:
         solins_a = embm.solins if solins is None else solins
 
         fl = embm.fluxes(atm, sst, dts=dts, anthro=anthro, wspd=wspd_a,
-                         solins=solins_a)
+                         solins=solins_a, land_gc=land_gc, sulph=sulph)
 
         # ---- sea ice (ice.F): dynamics, advection, thermodynamics ----
         use_cpts = self.cfg.ice.cpts > 0 and cpts_st is not None
@@ -355,14 +385,21 @@ class CoupledModel:
 
     # ------------------------------------------------------------------
     def gosbc(self, acc, state: CoupledState, sst, sss, swr_mean,
-              sed_flux=None):
+              sed_flux=None, co2ccn=None, cfcccn=None, dc14ccn=None,
+              relyr=None):
         """Accumulated fluxes -> ocean forcing (gosbc.F:66-145), plus
         gas-exchange and normalized virtual fluxes for the bgc tracers
         (gasbc.F:310-470, gosbc.F:310-365).  sed_flux: dict of sediment
         dissolution fluxes [umol/cm^2/s, positive into the ocean] that
-        enter the BOTTOM-cell tracer flux (tracer.F sed block)."""
+        enter the BOTTOM-cell tracer flux (tracer.F sed block).
+        co2ccn/cfcccn/dc14ccn/relyr default to the host-side attributes
+        (the fused-segment path passes them as traced scalars)."""
         from ..models.ocean.model import make_forcing
 
+        co2ccn = self.co2ccn if co2ccn is None else co2ccn
+        cfcccn = self.cfcccn if cfcccn is None else cfcccn
+        dc14ccn = self.dc14ccn if dc14ccn is None else dc14ccn
+        relyr = self.relyr if relyr is None else relyr
         atatm = acc["time"]
         fh = 2.389e-8 / atatm          # erg/cm^2/s -> cal/cm^2/s ~ K cm/s
         fs = -SOCN / atatm             # freshwater -> virtual salt flux
@@ -381,15 +418,16 @@ class CoupledModel:
             surf = state.ocean.t[:, 0]
             ao = (1.0 - state.ice.aice) * tmsk
             cfc_atm = None
-            if self.cfcccn is not None and "cfc11" in idx:
+            if cfcccn is not None and "cfc11" in idx:
                 from ..models.bgc.gasx import hemispheric_blend
-                c11n, c11s, c12n, c12s = self.cfcccn
+                c11n, c11s, c12n, c12s = cfcccn
                 cfc_atm = (hemispheric_blend(self.tlat_deg, c11n, c11s),
                            hemispheric_blend(self.tlat_deg, c12n, c12s))
             wspd_mean = acc["wspd"] / atatm
             gflux, _ = surface_gas_fluxes(
                 sst, sss, wspd_mean, ao, surf, idx,
-                co2ccn=self.co2ccn, cfc_atm=cfc_atm)
+                co2ccn=co2ccn, cfc_atm=cfc_atm,
+                dc14ccn=dc14ccn)
             # normalized virtual fluxes (gosbc.F:312-364): every bgc
             # tracer follows the salt flux anomaly scaled by its global
             # average surface concentration
@@ -413,10 +451,44 @@ class CoupledModel:
 
         return make_forcing(smf, stf, swr=swr_mean, aice=state.ice.aice,
                             hice=state.ice.hice, hsno=state.ice.hsno,
-                            relyr=self.relyr, btf=btf)
+                            relyr=relyr, btf=btf)
 
     # ------------------------------------------------------------------
+    def _segment_scalars(self) -> dict:
+        """Pack the host-side per-segment inputs (transient forcing,
+        feedback fields) into a pytree for the fused segment program.
+        None members are static structure; changing None <-> array
+        retraces once."""
+        dt = self.cfg.np_dtype
+        return dict(
+            co2ccn=jnp.asarray(self.co2ccn, dt),
+            anthro=jnp.asarray(self.anthro, dt),
+            dc14ccn=jnp.asarray(self.dc14ccn, dt),
+            relyr=jnp.asarray(self.relyr, dt),
+            solar_scale=jnp.asarray(self.solar_scale, dt),
+            sulph=self.sulph,
+            cfcccn=(None if self.cfcccn is None else
+                    tuple(jnp.asarray(v, dt) for v in self.cfcccn)),
+            awind_clim=(self.awind.t_clim
+                        if self.awind is not None else None),
+        )
+
     def run_segment(self, state: CoupledState) -> CoupledState:
+        """One coupled segment as ONE device program (the reference's
+        segment of atm/ice substeps + land + sed + ocean substeps runs
+        as a single jitted computation; the per-substep host dispatch
+        and the `int(itt)` device->host syncs of the naive loop are
+        gone — UVic_ESCM.F:296-416 segment semantics, lax.scan'd)."""
+        if self._segment_jit is None:
+            self._segment_jit = jax.jit(self._segment_core)
+        state, diag = self._segment_jit(state, self._segment_scalars())
+        self.last_acc = diag["acc"]
+        if "nep" in diag:
+            self.last_nep_kgC_s = diag["nep"]
+        return state
+
+    def _segment_core(self, state: CoupledState, sc: dict):
+        diag = {}
         sst, sss, frzpt = self.gasbc(state)
         # surface geostrophic currents for ice drag: ocean surface vel
         u_surf = self.ocean.full_velocity(state.ocean.u, state.ocean.psi0)
@@ -427,35 +499,54 @@ class CoupledModel:
         # anomalous wind feedback (winds.F): SAT anomaly vs climatology
         # perturbs advecting winds, stress, and wind speed per segment
         wind_pkg = None
-        if self.awind is not None and self.awind.t_clim is not None:
+        if sc["awind_clim"] is not None:
             w2, tx2, ty2, ws2 = self.awind.apply(
                 atm.at[0], self.embm.winds, self.taux_w, self.tauy_w,
-                self.embm.wspd)
+                self.embm.wspd, t_clim=sc["awind_clim"])
             wind_pkg = (w2, ws2, tx2, ty2)
 
-        # seasonal insolation at the segment midpoint (setembm/zenith)
-        solins = None
+        # seasonal insolation at the segment midpoint (setembm/zenith),
+        # scaled by the transient solar-volcanic factor (solardata.F /
+        # volcdata.F application in fluxes.F solins)
         if self.cfg.embm.seasonal:
             from ..models.embm.insolation import daily_insolation
             yrlen = 360.0 if self.cfg.time.eqyear else 365.0
-            day = (self.relyr % 1.0) * yrlen \
+            day = (sc["relyr"] % 1.0) * yrlen \
                 + 0.5 * self.cfg.time.segtim_days
             solins = daily_insolation(self.tlat_rad2d, day, yrlen)
+        else:
+            solins = self.embm.solins
+        solins = solins * sc["solar_scale"]
 
-        acc = None
-        cpts_st = state.cpts
-        for _ in range(self.ntspas):
-            mixing = bool(atm.nats + 1 > self.cfg.embm.namix)
-            atm, ice, a, cpts_st = self._atm_ice_step(
-                atm, ice, sst, frzpt, uocn, vocn,
-                jnp.asarray(self.anthro, sst.dtype), wind_pkg, solins,
-                cpts_st, mixing=mixing)
-            if acc is None:
-                acc = a
-            else:
-                acc = {k: acc[k] + a[k] for k in acc}
+        # land->atm feedback: canopy conductance from the previous land
+        # physics step enters every atm substep (glsbc.F cadence)
+        land_gc = None
+        if state.land is not None and state.land.gc is not None:
+            land_gc = state.land.gc * 100.0   # m/s -> cm/s
+
+        # ---- atm/ice substeps as one scan (embm.F:39-95) -------------
+        z2 = jnp.zeros_like(sst)
+        acc0 = dict(heat=z2, freshwater=z2, taux=z2, tauy=z2, swr=z2,
+                    wspd=z2, time=jnp.zeros((), sst.dtype))
+
+        def atm_body(carry, _):
+            atm_c, ice_c, cpts_c, acc_c = carry
+            mixing = atm_c.nats + 1 > self.cfg.embm.namix
+            atm_n, ice_n, a, cpts_n = self._atm_ice_step_impl(
+                atm_c, ice_c, sst, frzpt, uocn, vocn, sc["anthro"],
+                wind_pkg, solins, cpts_c, land_gc, sc["sulph"],
+                mixing=mixing)
+            acc_n = {k: acc_c[k] + a[k] for k in acc_c}
+            return (atm_n, ice_n, cpts_n, acc_n), None
+
+        (atm, ice, cpts_st, acc), _ = jax.lax.scan(
+            atm_body, (atm, ice, state.cpts, acc0), None,
+            length=self.ntspas)
 
         swr_mean = acc["swr"] / acc["time"]
+        # segment flux totals for the conservation audit (global_sums.F
+        # closure checks) and diagnostics
+        diag["acc"] = acc
 
         # ---- land model segment update (mtlm.F; glsbc coupling) -------
         land = state.land
@@ -465,7 +556,12 @@ class CoupledModel:
                 17.67 * atm.at[0] / (atm.at[0] + 243.5))), 0.0, 1.0)
             land, lflux = mtlm_physics_step(
                 land, self.embm.lmsk, atm.at[0], atm.at[1], swr_mean,
-                rh_mean, atm.soilm / 15.0, co2_ppm=self.co2ccn)
+                rh_mean, atm.soilm / 15.0, co2_ppm=sc["co2ccn"])
+            # land carbon flux into the global CO2 budget (gasbc.F
+            # O_carbon): per-segment diagnostic, applied by `run`
+            # when carbon_co2 is interactive
+            diag["nep"] = jnp.sum(lflux["nep"]
+                                  * self.area2d_land) * 1.0e-4
             # TRIFFID every segment: gamma = 360d / segment days
             gamma = 360.0 / self.cfg.time.segtim_days
             land, _ = triffid_update(land, self.embm.lmsk, gamma)
@@ -531,19 +627,26 @@ class CoupledModel:
                                    bt[idx.idic],
                                    bt[idx.ialk] if "alk" in idx
                                    else 2.37 * jnp.ones_like(bt[0]),
-                                   self.co2ccn)
+                                   sc["co2ccn"])
                 sed, sfl = sed_step(sed, carb["co3"] * 1e-3, depth,
                                     self.embm.tmsk, seg_s)
             state = state.replace(sed=sed)
 
-        forcing = self.gosbc(acc, state, sst, sss, swr_mean, sed_flux=sfl)
+        forcing = self.gosbc(acc, state, sst, sss, swr_mean, sed_flux=sfl,
+                             co2ccn=sc["co2ccn"], cfcccn=sc["cfcccn"],
+                             dc14ccn=sc["dc14ccn"], relyr=sc["relyr"])
 
-        ocean = state.ocean
-        for _ in range(self.ntspos):
-            leapfrog = (int(ocean.itt) % self.cfg.ocean.nmix) != 0
-            ocean = self.ocean.step(ocean, forcing, leapfrog=leapfrog)
+        # ---- ocean substeps as one scan (mom.F leapfrog control) ------
+        nmix = self.cfg.ocean.nmix
+
+        def ocean_body(carry, _):
+            lf = (carry.itt % nmix) != 0
+            return self.ocean._step(carry, forcing, leapfrog=lf), None
+
+        ocean, _ = jax.lax.scan(ocean_body, state.ocean, None,
+                                length=self.ntspos)
         return CoupledState(ocean=ocean, atm=atm, ice=ice, land=land,
-                            sed=state.sed, cpts=cpts_st)
+                            sed=state.sed, cpts=cpts_st), diag
 
     def set_transient_forcing(self, transient=None):
         """Enable transient forcing (co2data/solardata/... readers)."""
@@ -553,11 +656,17 @@ class CoupledModel:
     def run(self, state: CoupledState, nseg: int) -> CoupledState:
         seg_days = self.cfg.time.segtim_days
         yrlen = 360.0 if self.cfg.time.eqyear else 365.0
+        from ..models.embm.constants import SOLARCONST
         for _ in range(nseg):
             if self.transient is not None:
                 f = self.transient.at(self.year0 + self.relyr)
                 self.co2ccn = f["co2ccn"]
                 self.anthro = 5.35e3 * np.log(self.co2ccn / 280.0)
+                self.dc14ccn = f["dc14ccn"]
+                self.solar_scale = f["solarconst"] / SOLARCONST
+                if "sulph_scale" in f:
+                    self.sulph = (self._sulph_pattern * f["sulph_scale"]
+                                  if f["sulph_scale"] > 0.0 else None)
                 if "cfc11ccnn" in f:
                     self.cfcccn = (f["cfc11ccnn"], f["cfc11ccns"],
                                    f["cfc12ccnn"], f["cfc12ccns"])

@@ -77,10 +77,44 @@ def volcanic_series(path=None) -> TransientSeries:
 
 
 def c14_series(path=None) -> TransientSeries:
-    """Atmospheric Delta-14C [permil] (c14data.F). Default: 0."""
+    """Atmospheric Delta-14C [permil] (c14data.F). Default: the
+    bomb-spike history (tropospheric mean, decadal anchors)."""
     if path:
         return TransientSeries.from_csv(path)
-    return TransientSeries.constant(0.0)
+    years = np.array([1000, 1850, 1900, 1950, 1955, 1960, 1964, 1967,
+                      1970, 1975, 1980, 1990, 2000, 2010, 2020],
+                     dtype=float)
+    permil = np.array([0, 0, -3, -20, 20, 220, 700, 570, 525, 390,
+                       260, 150, 70, 25, 0], dtype=float)
+    return TransientSeries(years, permil)
+
+
+def sulphate_series(path=None) -> TransientSeries:
+    """Anthropogenic sulphate aerosol optical-depth SCALE vs year
+    (sulphdata.F reads gridded loadings; we carry the global burden
+    history as a scalar multiplying a fixed NH-industrial spatial
+    pattern, `sulphate_pattern`).  Units: peak surface-coalbedo
+    reduction (dimensionless, applied as sca - sulph)."""
+    if path:
+        return TransientSeries.from_csv(path)
+    years = np.array([1000, 1850, 1900, 1930, 1950, 1970, 1980, 1990,
+                      2000, 2010, 2020], dtype=float)
+    # scaled to a peak regional coalbedo reduction ~0.03 around 1980
+    scale = np.array([0.0, 0.001, 0.006, 0.012, 0.018, 0.028, 0.030,
+                      0.028, 0.022, 0.018, 0.015])
+    return TransientSeries(years, scale)
+
+
+def sulphate_pattern(yt_deg, xt_deg=None, imt=None):
+    """Fixed spatial pattern of the anthropogenic sulphate burden:
+    northern-hemisphere industrial band (30N-60N) with smooth falloff
+    (stand-in for the sulphdata.F gridded loading, whose data file is
+    not shipped).  Returns (jmt, imt), peak 1.0."""
+    lat = np.asarray(yt_deg, dtype=float)
+    band = np.exp(-0.5 * ((lat - 45.0) / 15.0) ** 2)
+    if imt is None:
+        imt = 1
+    return np.broadcast_to(band[:, None], (lat.shape[0], imt)).copy()
 
 
 _CFC_YEARS = np.array([1930, 1940, 1950, 1955, 1960, 1965, 1970, 1975,
@@ -120,13 +154,15 @@ class TransientForcing:
     cfc11_s: TransientSeries = None
     cfc12_n: TransientSeries = None
     cfc12_s: TransientSeries = None
+    sulph: TransientSeries = None
 
     @classmethod
     def default(cls):
         return cls(co2=co2_series(), solar=solar_series(),
                    volcanic=volcanic_series(), c14=c14_series(),
                    cfc11_n=cfc_series(11, "n"), cfc11_s=cfc_series(11, "s"),
-                   cfc12_n=cfc_series(12, "n"), cfc12_s=cfc_series(12, "s"))
+                   cfc12_n=cfc_series(12, "n"), cfc12_s=cfc_series(12, "s"),
+                   sulph=sulphate_series())
 
     def at(self, year: float) -> dict:
         out = dict(
@@ -134,6 +170,8 @@ class TransientForcing:
             solarconst=self.solar.at(year) - self.volcanic.at(year),
             dc14ccn=self.c14.at(year),
         )
+        if self.sulph is not None:
+            out["sulph_scale"] = self.sulph.at(year)
         if self.cfc11_n is not None:
             out.update(
                 cfc11ccnn=self.cfc11_n.at(year),

@@ -282,12 +282,15 @@ def piston_velocity(wspd_cms, schmidt, open_water):
 
 
 def surface_gas_fluxes(sst, sss, wspd, open_water, surf_tracers, idx,
-                       co2ccn=280.0, alk_default=None, cfc_atm=None):
-    """Gas-exchange surface fluxes for dic/o2/cfc11/cfc12
-    (gasbc.F:330-467).
+                       co2ccn=280.0, alk_default=None, cfc_atm=None,
+                       dc14ccn=0.0):
+    """Gas-exchange surface fluxes for dic/o2/cfc11/cfc12/c14
+    (gasbc.F:330-467; c14: updates/10 gasbc.F:652-654).
 
     cfc_atm : None or (cfc11ccn, cfc12ccn) 2-D pptv fields (already
     hemispherically blended; see hemispheric_blend).
+    dc14ccn : atmospheric Delta-14C [permil] (c14data.F) — the c14 flux
+    follows the CO2 exchange with the atmospheric/oceanic 14C ratios.
 
     surf_tracers: (nt, jmt, imt) surface tracer fields (segment means).
     Returns (nt, jmt, imt) flux array [tracer-units cm/s], positive into
@@ -308,6 +311,16 @@ def surface_gas_fluxes(sst, sss, wspd, open_water, surf_tracers, idx,
         pv = piston_velocity(wspd, schmidt_co2(sst_c), open_water)
         flux = flux.at[idx.idic].set(pv * carb["dco2star"])
         diags.update(pco2=carb["pco2"], ph=carb["ph"], co3=carb["co3"])
+        if "c14" in idx:
+            # c14 exchange follows CO2 with atmospheric/oceanic 14C
+            # ratios (updates/10 gasbc.F:652-654), in our NORMALIZED
+            # c14 units (true c14 / rc14std; reference formula / rc14std)
+            c14 = surf_tracers[idx["c14"]]
+            rc_ocn = c14 / jnp.maximum(dic, 1e-12)
+            flux = flux.at[idx["c14"]].set(pv * (
+                (carb["dco2star"] + carb["co2star"])
+                * (1.0 + dc14ccn * 1.0e-3)
+                - carb["co2star"] * rc_ocn))
     if "o2" in idx:
         o2 = surf_tracers[idx.io2]
         pv = piston_velocity(wspd, schmidt_o2(sst_c), open_water)

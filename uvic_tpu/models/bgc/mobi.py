@@ -1287,11 +1287,14 @@ class Mobi:
             src = src.at[idx.ialk].set(alk_src * in_col)
 
         # ---- DIC-14 (tracer.F:630-645): decay + source slaved to the
-        # total DIC source at the standard ratio ----------------------
+        # total DIC source.  Our c14 tracer is NORMALIZED (true c14 /
+        # rc14std, so c14 ~ dic when Delta14C ~ 0; registry init 2.20);
+        # in these units the reference's src(dic)*rc14std becomes
+        # src(dic)*1 (mobi.h rc14std folds out).
         if self.c14 and self.carbon:
             src = src.at[idx["c14"]].set(
                 (-C14_LAMBDA * t_tm1[idx["c14"]]
-                 + src[idx.idic] * RC13STD) * in_col)
+                 + src[idx.idic]) * in_col)
 
         # ---- Pa/Th reversible scavenging (protac_thor.F) ------------
         if self.pa_th:

@@ -167,10 +167,19 @@ class EmbmModel:
 
     # ------------------------------------------------------------------
     def fluxes(self, state: AtmState, sst, aice=None, dts=54000.0,
-               anthro=0.0, wspd=None, solins=None):
+               anthro=0.0, wspd=None, solins=None, land_gc=None,
+               sulph=None):
         """Surface/TOA fluxes at tau (fluxes.F:2-278). sst: (jmt, imt).
         ``anthro``: CO2 radiative forcing [erg/cm^2/s] (co2forc).
-        ``wspd``: overrides the prescribed wind speed (awind feedback)."""
+        ``wspd``: overrides the prescribed wind speed (awind feedback).
+        ``land_gc``: MTLM aggregate canopy conductance [cm/s] — when
+        given, the land surface solve uses the vegetation's stomatal
+        resistance instead of the fixed 150 s/cm (the land->atmosphere
+        feedback of glsbc.F/fluxes.F O_mtlm: evap, sensible and longwave
+        all respond through the Newton energy balance).
+        ``sulph``: anthropogenic sulphate optical-depth field reducing
+        the surface coalbedo (fluxes.F:101 O_sulphate_data:
+        dnswr = solins*aca*pass*max(0, sca - sulph))."""
         at_sat = state.at[0]
         at_shum = state.at[1]
         telev = self.elev
@@ -184,7 +193,9 @@ class EmbmModel:
 
         if solins is None:
             solins = self.solins
-        dnswr = solins * self.aca * C.PASS * self.sca
+        sca = self.sca if sulph is None \
+            else jnp.maximum(0.0, self.sca - sulph)
+        dnswr = solins * self.aca * C.PASS * sca
 
         b = C.TW_B
         outlwr = 1.0e3 * (
@@ -208,7 +219,13 @@ class EmbmModel:
 
         # ---- land points: Newton solve for surface temperature -------
         fm = C.ESATM * (tair + C.C2K) ** 4
-        sr = 1.0 / (C.DALT_V * wspd + EPSLN) + 150.0   # stomatal+aero [s/cm]
+        if land_gc is None:
+            rs_stom = 150.0                            # fixed veg_rs [s/cm]
+        else:
+            rs_stom = jnp.where(land_gc > 1.0e-8, 1.0 / (land_gc + EPSLN),
+                                150.0)
+            rs_stom = jnp.clip(rs_stom, 20.0, 2.0e4)
+        sr = 1.0 / (C.DALT_V * wspd + EPSLN) + rs_stom  # stomatal+aero [s/cm]
         fh = jnp.clip((state.soilm / C.SOILMAX) ** 0.25, EPSLN, 1.0)
         fl = fh * C.RHOATM * C.VLOCN / sr
         fg_l = fh * C.RHOATM / sr

@@ -59,12 +59,12 @@ class WindFeedback:
     def set_climatology(self, sat):
         self.t_clim = jnp.asarray(sat)
 
-    def anomalous_wind(self, sat_mean):
+    def anomalous_wind(self, sat_mean, t_clim=None):
         """(awx, awy) anomalous wind at U points from SAT anomaly
         (calc_awind)."""
         C2K = 273.15
         tm = sat_mean + C2K
-        tc = self.t_clim + C2K
+        tc = (self.t_clim if t_clim is None else t_clim) + C2K
         apress = RD * (self.s * (tm ** 2 - tc ** 2) + B_RHO * (tm - tc))
         apress = apress - jnp.sum(apress * self.area) / jnp.sum(self.area)
         from ...ops.stencil import E, N
@@ -77,10 +77,10 @@ class WindFeedback:
         awx = -const * (self.rlat * adpdx + self.fcor * adpdy)
         return awx, awy
 
-    def apply(self, sat_mean, winds, taux, tauy, wspd):
+    def apply(self, sat_mean, winds, taux, tauy, wspd, t_clim=None):
         """Blend the anomalous wind into advecting winds, stress, and
         speed (add_awind, winds.F:1-80)."""
-        awx, awy = self.anomalous_wind(sat_mean)
+        awx, awy = self.anomalous_wind(sat_mean, t_clim=t_clim)
         cosa = jnp.cos(TURN)
         sina = jnp.sin(TURN) * self.sign_lat
         x = awx * cosa - awy * sina

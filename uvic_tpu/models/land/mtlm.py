@@ -86,6 +86,11 @@ class LandState:
     resp_w_acc: jnp.ndarray
     resp_s_acc: jnp.ndarray  # (jmt, imt)
     nacc: jnp.ndarray        # scalar accumulation count
+    # aggregate canopy conductance [m/s] from the last physics step:
+    # the land->atmosphere feedback channel (glsbc.F evap/sens/lwr
+    # accumulators) — the EMBM land surface solve consumes it as the
+    # stomatal resistance (fluxes.F land branch)
+    gc: jnp.ndarray = None
 
 
 def init_land_state(jmt, imt, lmask, dtype):
@@ -109,6 +114,7 @@ def init_land_state(jmt, imt, lmask, dtype):
         resp_w_acc=jnp.zeros((NPFT, jmt, imt), dtype),
         resp_s_acc=jnp.asarray(z, dtype),
         nacc=jnp.zeros((), jnp.int32),
+        gc=jnp.zeros((jmt, imt), dtype),
     )
 
 
@@ -345,6 +351,7 @@ def mtlm_physics_step(state: LandState, lmask, sat_c, shum, swr, rh,
     fsmc = jnp.clip(soilm_frac, 0.0, 1.0)
 
     nep = jnp.zeros_like(sat_c)
+    gc_eff = jnp.zeros_like(sat_c)
     npp_pft = []
     gleaf_pft = []
     respw_pft = []
@@ -358,6 +365,10 @@ def mtlm_physics_step(state: LandState, lmask, sat_c, shum, swr, rh,
         respw_pft.append(resp_w * per360)
         gleaf_pft.append(leaf_turnover(n, fsmc, tstar_k))
         nep = nep + state.frac[n] * npp
+        gc_eff = gc_eff + state.frac[n] * gc
+    # bare-soil conductance for the non-vegetated fraction (sf_evap.F
+    # soil evaporation resistance analog)
+    gc_eff = gc_eff + state.frac[NPFT] * 1.0e-3 * fsmc
     resp_s = soil_respiration(state.cs, tstar_k, 0.3 + 0.6 * fsmc)
     nep = nep - resp_s
 
@@ -368,5 +379,7 @@ def mtlm_physics_step(state: LandState, lmask, sat_c, shum, swr, rh,
         resp_s_acc=state.resp_s_acc + resp_s * 360.0 * 86400.0 * lmask,
         tsoil=0.99 * state.tsoil + 0.01 * tstar_k,
         nacc=state.nacc + 1,
+        gc=gc_eff * lmask,
     )
-    return new, dict(nep=nep * lmask, resp_s=resp_s * lmask)
+    return new, dict(nep=nep * lmask, resp_s=resp_s * lmask,
+                     gc=gc_eff * lmask)

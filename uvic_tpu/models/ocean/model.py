@@ -328,8 +328,12 @@ class OceanModel:
                 ydiff_fluxform=cfg.ocean.isopycmix, has_src=has_src,
                 dtype=jnp.float32)
 
-        if on_tpu and cfg.parallel.mesh_shape == (1, 1) \
-                and cfg.ocean.acor == 0.0 and not self.sp_mode \
+        # Built whenever the kernel can lower; the sharded explicit-halo
+        # path (parallel/shard_step.py) runs it REPLICATED inside a
+        # shard_map (the 2-D solve is tiny and latency-bound if
+        # sharded), so the mesh shape only gates the GSPMD `_step` use.
+        self.cg_solver_rep = None
+        if on_tpu and cfg.ocean.acor == 0.0 and not self.sp_mode \
                 and cfg.np_dtype == np.float32:  # Pallas TPU lowers f32 only
             from ...ops.pallas_cg import make_pallas_congrad
             from ...ops.solvers import make_inv
@@ -341,10 +345,12 @@ class OceanModel:
             interior[1:-1, 1:-1] = 1.0
             pm = (pid >= 0).astype(np.float64)
             z_unit = np.asarray(make_inv(self.cf_unit, self.isl))
-            self.cg_solver = make_pallas_congrad(
+            self.cg_solver_rep = make_pallas_congrad(
                 np.asarray(self.cf_unit), z_unit, oh,
                 np.asarray(topo.perim_count), interior, pm,
                 imt, jmt, cfg.ocean.mxscan, g.cyclic)
+            if cfg.parallel.mesh_shape == (1, 1):
+                self.cg_solver = self.cg_solver_rep
 
     # ------------------------------------------------------------------
     def init_state(self, t_init=None) -> OceanState:

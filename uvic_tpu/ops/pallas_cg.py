@@ -128,10 +128,22 @@ def make_pallas_congrad(cf, z_pre, isl_onehot, isl_counts, interior,
         def inv_op(r):
             return border(island_sum_dist(zmat * r))
 
+        # constant-mode deflation (see ops/solvers.py congrad): ones on
+        # the ACTIVE set (nonzero preconditioner diagonal) is an exact
+        # null vector of the curl-form operator; project it out of the
+        # preconditioned residual and iterate to stop the secular
+        # growth that destroys the solution by cancellation
+        wvec = border(jnp.where(z_ref[:] != 0.0, 1.0, 0.0))
+        ww = dot2(wvec, wvec)
+
+        def deflate(x):
+            return x - (dot2(x, wvec) / ww) * wvec
+
         # work arrays live in VMEM scratch refs; the loop carries scalars
         # only (ref-mutation is the idiomatic Mosaic stateful loop)
-        dpsi_out[:] = border(guess_ref[:])
-        res_ref[:] = border((forc_ref[:] - apply_op(dpsi_out[:])) * intm)
+        dpsi_out[:] = deflate(border(guess_ref[:]))
+        res_ref[:] = deflate(
+            border((forc_ref[:] - apply_op(dpsi_out[:])) * intm))
         s_ref[:] = jnp.zeros_like(res_ref[:])
         zres0 = inv_op(res_ref[:])
         trivially_done = 100.0 * jnp.max(jnp.abs(zres0)) < tol
@@ -140,7 +152,7 @@ def make_pallas_congrad(cf, z_pre, isl_onehot, isl_counts, interior,
         def body(i, st):
             betakm1, step1, est, iters, done = st
             live = jnp.where(done, 0.0, 1.0).astype(dtype)
-            zres = inv_op(res_ref[:])
+            zres = deflate(inv_op(res_ref[:]))
             betak = dot2(zres, res_ref[:])
             # freeze ALL state once done: with a fixed trip count the
             # loop keeps executing after convergence, and an unfrozen
@@ -158,8 +170,8 @@ def make_pallas_congrad(cf, z_pre, isl_onehot, isl_counts, interior,
                               0.0) * live
             dpsi_out[:] = jnp.where(done, dpsi_out[:],
                                     dpsi_out[:] + alpha * s_ref[:])
-            res_new = border(island_avg_dist(
-                res_ref[:] - alpha * as_ref[:]))
+            res_new = deflate(border(island_avg_dist(
+                res_ref[:] - alpha * as_ref[:])))
             res_ref[:] = jnp.where(done, res_ref[:], res_new)
             k = iters + jnp.where(done, 0, 1)
             step = jnp.abs(alpha) * jnp.max(jnp.abs(s_ref[:]))
@@ -183,6 +195,7 @@ def make_pallas_congrad(cf, z_pre, isl_onehot, isl_counts, interior,
             (jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype),
              jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32),
              trivially_done))
+        dpsi_out[:] = deflate(dpsi_out[:])
         iters_out[0] = st[3]
 
     @jax.jit

@@ -112,9 +112,29 @@ def congrad(cf, guess, forc, isl: IslandIndex, tol, max_iter: int,
     dpsi = border(guess, cyclic)
     z = border(make_inv(cf, isl), cyclic)
 
+    # Constant-mode deflation.  Land rows/columns of the curl-form
+    # operator are exactly zero (hr vanishes at every U cell touching a
+    # land T cell), and the remaining active rows have zero row sums,
+    # so "ones on the active set" is an exact null vector.  Any
+    # round-off/filter inconsistency in the RHS grows secularly along
+    # it: the iterate reaches O(1e12x) the physical signal before the
+    # post-solve island normalization (tropic.F:231-237 con_adjust,
+    # which exists precisely because of this drift) cancels it —
+    # catastrophically, leaving psi accurate to only ~1e-4 relative.
+    # Deflating the preconditioned residual and the returned iterate
+    # (standard deflated CG) keeps everything at signal scale and makes
+    # the solve insensitive to reduction ordering.  The active set is
+    # where the preconditioner diagonal is nonzero (make_inv masks
+    # no-equation cells, congrad.F:871-874).
+    w = border(jnp.where(z != 0.0, 1.0, 0.0), cyclic)
+    ww = dot2(w, w)
+
+    def deflate(x):
+        return x - (dot2(x, w) / ww) * w
+
     res = forc - apply_op9(cf, dpsi)
     res = res.at[0, :].set(0.0).at[-1, :].set(0.0)
-    res = border(res, cyclic)
+    res = deflate(border(res, cyclic))
 
     def inv_op(r):
         return border(sum_dist(z * r, isl), cyclic)
@@ -138,7 +158,7 @@ def congrad(cf, guess, forc, isl: IslandIndex, tol, max_iter: int,
 
     def body(st):
         k = st["k"] + 1
-        zres = inv_op(st["res"])
+        zres = deflate(inv_op(st["res"]))
         betak = dot2(zres, st["res"])
         s = zres + (betak / st["betakm1"]) * st["s"]
         As = border(apply_op9(cf, s), cyclic)
@@ -147,7 +167,7 @@ def congrad(cf, guess, forc, isl: IslandIndex, tol, max_iter: int,
         alpha = jnp.where(safe, betak / jnp.where(safe, s_dot_As, 1.0), 0.0)
         dpsi = st["dpsi"] + alpha * s
         res = st["res"] - alpha * As
-        res = border(avg_dist(res, isl), cyclic)
+        res = deflate(border(avg_dist(res, isl), cyclic))
         smax = absmax(s)
         step = jnp.abs(alpha) * smax
         step1 = jnp.where(k == 1, step, st["step1"])
@@ -168,4 +188,4 @@ def congrad(cf, guess, forc, isl: IslandIndex, tol, max_iter: int,
 
     st = jax.lax.while_loop(cond, body, state0)
     converged = st["done"] | trivially_done
-    return st["dpsi"], st["k"], st["est"], converged
+    return deflate(st["dpsi"]), st["k"], st["est"], converged

@@ -61,27 +61,36 @@ BAG_AXES = {
 
 # ----------------------------------------------------------------------
 # host-side extension of static constants
+#
+# The window may be PADDED beyond the reference layout to make the
+# grid divisible by the mesh: window position g (0-based) holds the
+# periodic image of real column ((g - 1) mod m) + 1 with m = imt - 2
+# (positions 0 and imt-1 reproduce the standard duplicated ghost
+# columns; positions >= imt are extra images).  Rows beyond jmt - 1
+# are "beyond the wall": clamp (grid factors) or zero (masked fields).
 
-def extend_x(a: np.ndarray, w: int, axis: int = -1) -> np.ndarray:
-    """Extend with zonal period (n-2), honoring the duplicated ghost
-    columns: ext position i maps to global gi = i - w; gi < 0 reads
-    gi + (n-2), gi >= n reads gi - (n-2)."""
+def extend_x(a: np.ndarray, w: int, axis: int = -1,
+             n_out: int | None = None) -> np.ndarray:
+    """Periodic window extension: output position p in [0, n) keeps the
+    stored column (incl. the duplicated ghosts); outside, p maps to the
+    periodic image ((p - 1) mod (n - 2)) + 1."""
     a = np.asarray(a)
     n = a.shape[axis]
-    gi = np.arange(-w, n + w)
-    gi = np.where(gi < 0, gi + (n - 2), gi)
-    gi = np.where(gi >= n, gi - (n - 2), gi)
-    return np.take(a, gi, axis=axis)
+    n_out = n if n_out is None else n_out
+    p = np.arange(-w, n_out + w)
+    idx = np.where((p >= 0) & (p < n), p, ((p - 1) % (n - 2)) + 1)
+    return np.take(a, idx, axis=axis)
 
 
 def extend_y(a: np.ndarray, w: int, axis: int = -1,
-             fill: str = "clamp") -> np.ndarray:
+             fill: str = "clamp", n_out: int | None = None) -> np.ndarray:
     """Extend beyond the wall rows: 'clamp' repeats the edge value
     (grid factors — finite, multiplied by zero-masked data), 'zero'
     pads zeros (masks and physical fields)."""
     a = np.asarray(a)
     n = a.shape[axis]
-    gi = np.arange(-w, n + w)
+    n_out = n if n_out is None else n_out
+    gi = np.arange(-w, n_out + w)
     if fill == "clamp":
         return np.take(a, np.clip(gi, 0, n - 1), axis=axis)
     out = np.take(a, np.clip(gi, 0, n - 1), axis=axis)
@@ -91,9 +100,12 @@ def extend_y(a: np.ndarray, w: int, axis: int = -1,
     return np.where(valid, out, np.zeros_like(out))
 
 
-def extend_yx(a: np.ndarray, w: int, fill: str = "clamp") -> np.ndarray:
+def extend_yx(a: np.ndarray, w: int, fill: str = "clamp",
+              jmt_p: int | None = None,
+              imt_p: int | None = None) -> np.ndarray:
     """Extend trailing (jmt, imt) axes: x periodic, y clamp/zero."""
-    return extend_y(extend_x(a, w, axis=-1), w, axis=-2, fill=fill)
+    return extend_y(extend_x(a, w, axis=-1, n_out=imt_p), w, axis=-2,
+                    fill=fill, n_out=jmt_p)
 
 
 # ----------------------------------------------------------------------
@@ -110,14 +122,21 @@ def _dslice(a, start, size, axis):
 
 class ExtendedStatics:
     """Host-extends a dict of named constants once; produces per-shard
-    padded local views inside shard_map given the shard indices."""
+    padded local views inside shard_map given the shard indices.
+
+    jmt_p/imt_p: PADDED window sizes (multiples of ny/nx); positions
+    beyond the reference layout carry periodic x images / beyond-wall
+    y fill, so any grid shards on any mesh."""
 
     def __init__(self, arrays: dict, axes: dict, jmt: int, imt: int,
                  ny: int, nx: int, w: int, fills: dict | None = None,
-                 dtype=None):
-        assert jmt % ny == 0 and imt % nx == 0, \
-            f"grid {jmt}x{imt} not divisible by mesh {ny}x{nx}"
-        self.ly, self.lx = jmt // ny, imt // nx
+                 dtype=None, jmt_p: int | None = None,
+                 imt_p: int | None = None):
+        jmt_p = jmt if jmt_p is None else jmt_p
+        imt_p = imt if imt_p is None else imt_p
+        assert jmt_p % ny == 0 and imt_p % nx == 0, \
+            f"padded grid {jmt_p}x{imt_p} not divisible by mesh {ny}x{nx}"
+        self.ly, self.lx = jmt_p // ny, imt_p // nx
         self.w = w
         self.axes = axes
         fills = fills or {}
@@ -130,11 +149,11 @@ class ExtendedStatics:
             a = np.asarray(a)
             fill = fills.get(name, "clamp")
             if kind == "x":
-                e = extend_x(a, w, axis=-1)
+                e = extend_x(a, w, axis=-1, n_out=imt_p)
             elif kind == "y":
-                e = extend_y(a, w, axis=-1, fill=fill)
+                e = extend_y(a, w, axis=-1, fill=fill, n_out=jmt_p)
             else:
-                e = extend_yx(a, w, fill=fill)
+                e = extend_yx(a, w, fill=fill, jmt_p=jmt_p, imt_p=imt_p)
             self.ext[name] = jnp.asarray(
                 e.astype(dtype) if (dtype is not None
                                     and np.issubdtype(e.dtype,
@@ -162,20 +181,28 @@ class ExtendedStatics:
 # ----------------------------------------------------------------------
 # runtime halo exchange (inside shard_map)
 
-def exchange_pad(f, w: int, yname: str, xname: str, ny: int, nx: int):
+def exchange_pad(f, w: int, yname: str, xname: str, ny: int, nx: int,
+                 gx: int = 2):
     """Pad a local block (..., ly, lx) to (..., ly+2w, lx+2w) with
     neighbor data: one ppermute pair along the cyclic x ring (honoring
     the duplicated ghost columns) and one along the walled y line.
     Corners are correct because the y exchange runs on the x-padded
-    array."""
-    # --- x ring: the true zonal period excludes the 2 ghost columns,
-    # so the first/last shards send their *real* edge columns
+    array.
+
+    gx: trailing ghost/image column count of the global window — 2 for
+    the standard layout, 2 + pad when the window is padded to make imt
+    divisible by nx (window position g holds real ((g-1) mod m) + 1,
+    m = true zonal period)."""
+    # --- x ring: the true zonal period excludes the gx trailing image
+    # columns (and 1 leading ghost), so the first/last shards send
+    # their *real* periodic-continuation columns
     ix = jax.lax.axis_index(xname)
     is_first = ix == 0
     is_last = ix == nx - 1
     lx = f.shape[-1]
-    send_e = jnp.where(is_last, f[..., lx - 2 - w:lx - 2], f[..., lx - w:])
-    send_w = jnp.where(is_first, f[..., 2:2 + w], f[..., :w])
+    send_e = jnp.where(is_last, f[..., lx - gx - w:lx - gx],
+                       f[..., lx - w:])
+    send_w = jnp.where(is_first, f[..., gx:gx + w], f[..., :w])
     fwd = [(i, (i + 1) % nx) for i in range(nx)]
     bwd = [(i, (i - 1) % nx) for i in range(nx)]
     wh = jax.lax.ppermute(send_e, xname, fwd)   # from west neighbor
@@ -204,8 +231,31 @@ def pad_zeros(f, w: int):
     return jnp.pad(f, pw)
 
 
+# ----------------------------------------------------------------------
+# device-side window padding (divisibility lift): state fields are
+# padded each step from (jmt, imt) to (jmt_p, imt_p) — x pad columns
+# gather the correct periodic images from REAL columns, y pad rows are
+# zeros (beyond the wall, always masked) — and cropped back after.
+
+def pad_window(f, jmt_p: int, imt_p: int):
+    jmt, imt = f.shape[-2:]
+    m = imt - 2
+    if imt_p > imt:
+        idx = jnp.asarray([((g - 1) % m) + 1 for g in range(imt, imt_p)],
+                          dtype=jnp.int32)
+        f = jnp.concatenate([f, jnp.take(f, idx, axis=-1)], axis=-1)
+    if jmt_p > jmt:
+        pw = [(0, 0)] * (f.ndim - 2) + [(0, jmt_p - jmt), (0, 0)]
+        f = jnp.pad(f, pw)
+    return f
+
+
+def crop_window(f, jmt: int, imt: int):
+    return f[..., :jmt, :imt]
+
+
 def pack_exchange(fields: list, w: int, yname: str, xname: str,
-                  ny: int, nx: int) -> list:
+                  ny: int, nx: int, gx: int = 2) -> list:
     """Halo-pad a list of (..., ly, lx) arrays with ONE exchange:
     flatten leading dims, concatenate, exchange, split back."""
     ly, lx = fields[0].shape[-2:]
@@ -217,7 +267,7 @@ def pack_exchange(fields: list, w: int, yname: str, xname: str,
         flat.append(f.astype(dtype).reshape((n, ly, lx)))
         meta.append((lead, n, f.dtype))
     packed = jnp.concatenate(flat, axis=0)
-    padded = exchange_pad(packed, w, yname, xname, ny, nx)
+    padded = exchange_pad(packed, w, yname, xname, ny, nx, gx=gx)
     outs, off = [], 0
     for lead, n, dt in meta:
         blk = padded[off:off + n].astype(dt)

@@ -40,11 +40,19 @@ def spec_for(ndim: int, mesh: Mesh) -> P:
 
 
 def shard_pytree(tree: Any, mesh: Mesh) -> Any:
-    """Place every array in the pytree with its spatial sharding."""
+    """Place every array in the pytree with its spatial sharding.
+    Axes the mesh does not divide evenly stay unsharded (device_put
+    rejects uneven shards; the explicit-halo path pads them itself)."""
+    y, x = mesh.axis_names
+    ny, nx = mesh.devices.shape
+
     def place(a):
         if not hasattr(a, "ndim") or a.ndim < 2:
             return a
-        return jax.device_put(a, NamedSharding(mesh, spec_for(a.ndim, mesh)))
+        sy = y if a.shape[-2] % ny == 0 else None
+        sx = x if a.shape[-1] % nx == 0 else None
+        spec = P(*([None] * (a.ndim - 2) + [sy, sx]))
+        return jax.device_put(a, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map(place, tree)
 
 

@@ -27,8 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .halo import (BAG_AXES, ExtendedStatics, crop, pack_exchange,
-                   pad_zeros)
+from .halo import (BAG_AXES, ExtendedStatics, crop, crop_window,
+                   pack_exchange, pad_window, pad_zeros)
 from .mesh import sharding_tree
 
 
@@ -56,11 +56,18 @@ class ShardedOceanStep:
         self.ny, self.nx = mesh.devices.shape
         self.yname, self.xname = mesh.axis_names
         self.w = halo
-        ly, lx = g.jmt // self.ny, g.imt // self.nx
+        # divisibility lift: pad the window to mesh multiples — x pad
+        # columns are periodic images, y pad rows lie beyond the wall
+        self.jmt, self.imt = g.jmt, g.imt
+        self.jmt_p = -(-g.jmt // self.ny) * self.ny
+        self.imt_p = -(-g.imt // self.nx) * self.nx
+        self.gx = 2 + (self.imt_p - g.imt)
+        ly, lx = self.jmt_p // self.ny, self.imt_p // self.nx
         if self.ny > 1:
             assert halo <= ly, f"halo {halo} > local rows {ly}"
         if self.nx > 1:
-            assert halo <= lx, f"halo {halo} > local cols {lx}"
+            assert halo + self.gx <= lx, \
+                f"halo {halo} + ghosts {self.gx} > local cols {lx}"
 
         # ---- extended static constants (one-time host work) ----------
         arrays = {k: getattr(model.g, k) for k in BAG_AXES
@@ -91,7 +98,8 @@ class ShardedOceanStep:
             if fill:
                 fills[k] = fill
         self.stat = ExtendedStatics(arrays, axes, g.jmt, g.imt,
-                                    self.ny, self.nx, halo, fills)
+                                    self.ny, self.nx, halo, fills,
+                                    jmt_p=self.jmt_p, imt_p=self.imt_p)
 
         spatial2 = P(*([None] * 0), self.yname, self.xname)
 
@@ -121,7 +129,7 @@ class ShardedOceanStep:
         # ONE exchange for everything the stencil cascade reads
         t_tau, tm1, u_int, um1_int, psi0, psi1 = pack_exchange(
             [t_tau, tm1, u_int, um1_int, psi0, psi1], w,
-            self.yname, self.xname, self.ny, self.nx)
+            self.yname, self.xname, self.ny, self.nx, gx=self.gx)
         smf = pad_zeros(smf, w)
         stf = pad_zeros(stf, w)
         btf = pad_zeros(btf, w)
@@ -267,9 +275,20 @@ class ShardedOceanStep:
             if source is None:
                 source = jnp.zeros_like(tm1)
 
+            # window padding (divisibility lift): periodic-image x
+            # columns / beyond-wall y rows in, cropped back out
+            jmt_p, imt_p = self.jmt_p, self.imt_p
+
+            def pw(a):
+                return pad_window(a, jmt_p, imt_p)
+
             t_new, u_int_new, zu = core(
-                t_tau, tm1, u_int, um1_int, psi0, psi1,
-                smf, stf, btf, source)
+                pw(t_tau), pw(tm1), pw(u_int), pw(um1_int),
+                pw(psi0), pw(psi1), pw(smf), pw(stf), pw(btf),
+                pw(source))
+            t_new = crop_window(t_new, self.jmt, self.imt)
+            u_int_new = crop_window(u_int_new, self.jmt, self.imt)
+            zu = crop_window(zu, self.jmt, self.imt)
 
             if cfg.convection == Convection.FULL:
                 t_new = convct_full(t_new, m.kmt, m.eos_c, m.eos_to,
@@ -284,13 +303,31 @@ class ShardedOceanStep:
                 u_int_new = m.filt_u(u_int_new)
                 u_int_new = setbcx(u_int_new, True)
 
+            # Barotropic solve: REPLICATED, not sharded.  The elliptic
+            # problem is 2-D (jmt, imt) — tiny next to the 3-D state —
+            # and a sharded CG would issue 2 psums + 1 halo exchange
+            # per iteration, hundreds of latency-bound sequential
+            # collectives.  Running it identically on every device
+            # costs one all-gather of zu and is bitwise-deterministic:
+            # the near-null modes of the streamfunction operator
+            # amplify reduction-ordering differences by ~1e4, so a
+            # sharded solve cannot match the single-device trajectory.
             g = m.g
-            psi0n, psi1n, ptd, ptdb, iters, est, conv = tropic_step(
-                zu, psi0, psi1, state.ptd, state.ptdb,
-                m.cf_unit, m.cf_acor, m.isl,
-                g.dxu, g.dyu, g.csu, c2dtsf, cfg.tolrsf, cfg.mxscan,
-                leapfrog, True, filt=m.filt_sf, solver=None,
-                npt=cfg.sf_npt)
+            rep = P()
+
+            def _tropic(zu_r, psi0_r, psi1_r, ptd_r, ptdb_r):
+                return tropic_step(
+                    zu_r, psi0_r, psi1_r, ptd_r, ptdb_r,
+                    m.cf_unit, m.cf_acor, m.isl,
+                    g.dxu, g.dyu, g.csu, c2dtsf, cfg.tolrsf,
+                    cfg.mxscan, leapfrog, True, filt=m.filt_sf,
+                    solver=m.cg_solver_rep, npt=cfg.sf_npt)
+
+            psi0n, psi1n, ptd, ptdb, iters, est, conv = shard_map(
+                _tropic, mesh=self.mesh,
+                in_specs=(rep,) * 5, out_specs=(rep,) * 7,
+                check_vma=False)(
+                    zu, psi0, psi1, state.ptd, state.ptdb)
 
             from ..core.state import OceanState
             return OceanState(
@@ -306,9 +343,9 @@ class ShardedOceanStep:
     def step(self, state, forcing, leapfrog: bool = True):
         fn = self._step_jit.get(leapfrog)
         if fn is None:
-            raw = self._build(leapfrog)
-            shardings = (sharding_tree(state, self.mesh),
-                         sharding_tree(forcing, self.mesh))
-            fn = jax.jit(raw, in_shardings=shardings)
+            # no explicit in_shardings: the 3-D fields arrive sharded
+            # (shard_map in_specs pin them), while the 2-D barotropic
+            # fields live REPLICATED between steps (see _build).
+            fn = jax.jit(self._build(leapfrog))
             self._step_jit[leapfrog] = fn
         return fn(state, forcing)
