@@ -145,6 +145,38 @@ def _time_coupled(dtype):
     }
 
 
+def _time_sharded(nsteps, dtype):
+    """Explicit-halo ShardedOceanStep on the standard grid, the mesh
+    sized to the available devices (1 chip -> (1,1): machinery-overhead
+    measurement; N chips -> (1,N) or (2,N/2): true sharded step)."""
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+    from uvic_tpu.parallel.mesh import make_mesh, shard_pytree
+    from uvic_tpu.parallel.shard_step import ShardedOceanStep
+
+    n = len(jax.devices())
+    shape = (1, 1) if n < 2 else ((2, n // 2) if n % 2 == 0 else (1, n))
+    m, state, forcing = ge._flagship(small=False, dtype=dtype)
+    mesh = make_mesh(shape)
+    ss = ShardedOceanStep(m, mesh, halo=10)
+    s = shard_pytree(state, mesh)
+    f = shard_pytree(forcing, mesh)
+    s = ss.step(s, f, leapfrog=True)       # compile + warmup
+    jax.block_until_ready(s.t)
+    windows, checksum = [], 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(nsteps):
+            s = ss.step(s, f, leapfrog=True)
+        checksum += float(jnp.sum(s.t[0, 0]))
+        windows.append(time.perf_counter() - t0)
+    assert np.isfinite(checksum), "sharded bench produced NaN"
+    dt_wall = float(np.median(windows)) / nsteps
+    return {"sharded_mesh": f"{shape[0]}x{shape[1]}",
+            "sharded_step_wall_s": round(dt_wall, 5)}
+
+
 def main(nsteps=20, dtype="float32"):
     import jax
 
@@ -174,6 +206,14 @@ def main(nsteps=20, dtype="float32"):
         extras.update(_time_coupled(dtype))
     except Exception as e:
         extras["coupled_error"] = str(e)[:120]
+
+    # explicit-halo shard_map path on the standard grid (the multi-chip
+    # hot path; on the single available chip this measures the
+    # pack/exchange/crop machinery overhead vs the plain step)
+    try:
+        extras.update(_time_sharded(nsteps, dtype))
+    except Exception as e:
+        extras["sharded_error"] = str(e)[:120]
 
     print(json.dumps({
         "metric": "ocean tracer-step grid-points/s (std 3.6x1.8x19 grid, "

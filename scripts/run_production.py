@@ -10,8 +10,12 @@ runlen/segtim and the &diagn intervals (UVic_ESCM.F:296-416).
 """
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():

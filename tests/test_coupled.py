@@ -198,3 +198,41 @@ def test_land_gc_feedback():
     assert float(jnp.abs(state.land.gc).max()) > 0.0
     assert m.last_nep_kgC_s is not None
     assert not bool(jnp.isnan(state.atm.at).any())
+
+
+def test_convect_brine_coupled():
+    """O_convect_brine: ice-growth brine drives per-category convection
+    (convect_brine.F); the run is stable and total ocean salt matches
+    the no-brine twin closely (same salt enters, different pathway)."""
+    def make(brine):
+        cfg = small_config()
+        cfg = cfg.replace(ocean=dataclasses.replace(
+            cfg.ocean, isopycmix=False, gent_mcwilliams=False,
+            dtts=43200.0, dtuv=1800.0, dtsf=1800.0, tolrsf=1e8,
+            convect_brine=brine))
+        return CoupledModel(cfg)
+
+    import numpy as np
+    m0, m1 = make(False), make(True)
+    # cold high latitudes so ice forms and rejects brine
+    g = m0.grid
+    t0 = np.zeros((2, g.km, g.jmt, g.imt))
+    lat = np.broadcast_to(g.yt[:, None], (g.jmt, g.imt))
+    sst = np.maximum(29.0 * np.cos(np.deg2rad(lat)) ** 2 - 1.93, -1.93)
+    t0[0] = np.where(np.abs(lat)[None] > 60, -1.93,
+                     sst[None] * np.exp(-np.asarray(g.zt) / 800e2)
+                     [:, None, None])
+    t0 *= np.asarray(m0.topo.tmask)
+    s0 = m0.run(m0.init_state(t0.copy()), 4)
+    s1 = m1.run(m1.init_state(t0.copy()), 4)
+    assert not bool(jnp.isnan(s1.ocean.t).any())
+    assert float(jnp.abs(s1.ice.hice).max()) > 1.0   # ice formed
+    # same total salt delivered (different vertical pathway)
+    from uvic_tpu.diag.conservation import FullAudit
+    a0, a1 = FullAudit(m0), FullAudit(m1)
+    salt0 = a0.inventories(s0)["ocn_salt_kg"]
+    salt1 = a1.inventories(s1)["ocn_salt_kg"]
+    scale = abs(salt0) + abs(salt1) + 1e3
+    assert abs(salt0 - salt1) / scale < 0.1, (salt0, salt1)
+    # the pathways genuinely differ somewhere in the column
+    assert float(jnp.abs(s0.ocean.t[1] - s1.ocean.t[1]).max()) > 0.0

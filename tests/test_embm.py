@@ -65,3 +65,34 @@ def test_transport_conserves_with_zero_forcing(embm):
     x = embm._bc(state.at[0])
     x = embm.solve_tracer(x, x, coefs, 1e-12, 500)
     assert not bool(jnp.isnan(x).any())
+
+
+def test_berger_orbital_series():
+    """Berger 1978 leading-term series (insolation.F orbit): modern
+    epoch recovered, published paleo checkpoints within truncation
+    tolerance, and the classic 6ka NH-summer insolation anomaly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from uvic_tpu.models.embm.insolation import (daily_insolation,
+                                                 declination_eccf,
+                                                 orbital_params)
+    e0, o0, p0 = orbital_params(1950.0)
+    assert abs(e0 - 0.016724) < 0.003
+    assert abs(np.rad2deg(o0) - 23.446) < 0.05
+    assert abs((np.rad2deg(p0) - 102.04 + 180) % 360 - 180) < 3.0
+
+    e6, o6, p6 = orbital_params(1950.0 - 6000.0)
+    assert abs(np.rad2deg(o6) - 24.105) < 0.1
+    assert abs((np.rad2deg(p6) - 0.87 + 180) % 360 - 180) < 5.0
+
+    e21, o21, p21 = orbital_params(1950.0 - 21000.0)
+    assert abs(np.rad2deg(o21) - 22.949) < 0.1
+
+    # 6ka: higher obliquity + perihelion near NH summer solstice ->
+    # more NH high-latitude summer insolation (the Holocene optimum)
+    lat = jnp.deg2rad(jnp.asarray([[65.0]]))
+    q0 = float(daily_insolation(lat, 172.0, ecc=e0, obliq=o0,
+                                per=p0)[0, 0])
+    q6 = float(daily_insolation(lat, 172.0, ecc=e6, obliq=o6,
+                                per=p6)[0, 0])
+    assert q6 > q0 + 1.0e4   # > +10 W/m^2 anomaly (published: ~+25)

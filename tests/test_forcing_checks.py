@@ -153,3 +153,38 @@ def test_validate_restoring_requires_positive_damping():
         cfg.ocean, restorst=True, dampts=(0.0, 30.0)))
     with pytest.raises(ConfigError, match="dampts"):
         validate(cfg)
+
+
+def test_run_restoring_pulls_toward_climatology():
+    """Ocean-only restoring production driver (O_restorst,
+    data.F:119-142): SST moves toward the seasonal climatology."""
+    import dataclasses
+    import jax.numpy as jnp
+    import numpy as np
+    from uvic_tpu.config import small_config
+    from uvic_tpu.io.timeforce import default_surface_climatology
+    from uvic_tpu.models.ocean.model import make_ocean
+
+    cfg = small_config()
+    cfg = cfg.replace(ocean=dataclasses.replace(
+        cfg.ocean, isopycmix=False, gent_mcwilliams=False,
+        dtts=43200.0, dtuv=1800.0, dtsf=1800.0, tolrsf=1e8,
+        dampts=(10.0, 10.0)))     # strong restoring for the test
+    m = make_ocean(cfg)
+    g = m.params.grid
+    # start 5 K off the climatology everywhere
+    sstf, sssf = default_surface_climatology(g)
+    t0 = np.zeros((2, g.km, g.jmt, g.imt))
+    t0[0] = 10.0
+    t0 *= np.asarray(m.params.topo.tmask)
+    state = m.init_state(t0)
+    smf = jnp.zeros((2, g.jmt, g.imt), m.cfg.np_dtype)
+
+    clim0 = np.asarray(sstf(0.04))
+    wet = np.asarray(m.tmask[0]) > 0
+    err_before = np.abs(np.asarray(state.t[0, 0]) - clim0)[wet].mean()
+    state = m.run_restoring(state, smf, sstf, sssf, nseg=1,
+                            seg_days=30.0)
+    err_after = np.abs(np.asarray(state.t[0, 0]) - clim0)[wet].mean()
+    assert err_after < 0.7 * err_before, (err_before, err_after)
+    assert not bool(jnp.isnan(state.t).any())

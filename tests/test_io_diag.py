@@ -87,3 +87,84 @@ def test_calendar():
     al = Alarm(10.0)
     fires = sum(al.check(d * 1.25, 1.25) for d in range(1, 65))
     assert fires == 8   # 80 model days / 10-day interval
+
+
+def test_sections_and_stations():
+    """xbt stations, cross sections, zonal-mean SBC (xbt.F, diag.F)."""
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from uvic_tpu.config import small_config
+    from uvic_tpu.diag.sections import (XbtStations, cross_section,
+                                        zonal_mean_sbc)
+    from uvic_tpu.models.ocean.model import make_forcing, make_ocean
+
+    cfg = small_config()
+    cfg = cfg.replace(ocean=dataclasses.replace(
+        cfg.ocean, isopycmix=False, gent_mcwilliams=False,
+        dtts=3600.0, dtuv=900.0, dtsf=900.0, tolrsf=1e8))
+    m = make_ocean(cfg)
+    g = m.params.grid
+    t0 = np.zeros((2, g.km, g.jmt, g.imt))
+    t0[0] = (20.0 * np.exp(-np.asarray(g.zt) / 1000e2))[:, None, None]
+    t0 *= np.asarray(m.params.topo.tmask)
+    s = m.init_state(t0)
+    yu = np.asarray(g.yu)
+    taux = np.sin(np.deg2rad(yu * 3))[:, None] * np.ones((1, g.imt))
+    f = make_forcing(jnp.asarray(np.stack([taux / 1.035,
+                                           np.zeros_like(taux)])),
+                     jnp.zeros((m.nt, g.jmt, g.imt)))
+    s = m.run(s, f, 5)
+
+    xbt = XbtStations(g)
+    cols = xbt.sample(s, m)
+    assert set(cols) == {n for n, _, _ in XbtStations.DEFAULT}
+    for st in cols.values():
+        assert st["temp"].shape == (g.km,)
+        assert np.isfinite(st["temp"]).all()
+
+    sec = cross_section(s.t[0], g, lat=0.0)
+    assert sec.shape == (g.km, g.imt)
+    sec2 = cross_section(s.t[0], g, lon=180.0)
+    assert sec2.shape == (g.km, g.jmt)
+
+    zm = zonal_mean_sbc(dict(sst=s.t[0, 0], taux=f.smf[0]),
+                        m.tmask[0], g.dxt)
+    assert zm["sst"].shape == (g.jmt,)
+    assert np.isfinite(zm["sst"][1:-1]).all()
+
+
+def test_regrid_and_extrap():
+    """util.F ctf/ftc/extrap equivalents (io/regrid.py)."""
+    import numpy as np
+    from uvic_tpu.io.regrid import ctf, extrap_fill, ftc
+
+    # extrap: masked region fills smoothly between boundary values
+    f = np.zeros((8, 10))
+    valid = np.zeros((8, 10), bool)
+    f[:, 0] = 1.0
+    f[:, 5] = 3.0
+    valid[:, 0] = True
+    valid[:, 5] = True
+    out = extrap_fill(f, valid, cyclic=False, max_iter=2000, tol=1e-8)
+    assert np.all(out[:, 1:5] > 1.0) and np.all(out[:, 1:5] < 3.0)
+    assert np.allclose(out[:, 0], 1.0)
+
+    # ctf: bilinear recovery of a linear field is exact (incl. the seam)
+    slon = np.arange(0, 360, 10.0) + 5.0
+    slat = np.linspace(-85, 85, 18)
+    src = np.sin(np.deg2rad(slat))[:, None] * np.ones((18, 36))
+    dlon = np.arange(0, 360, 3.6) + 1.8
+    dlat = np.linspace(-88, 88, 50)
+    out = ctf(src, slon, slat, dlon, dlat)
+    expect = np.sin(np.deg2rad(np.clip(dlat, slat[0], slat[-1])))
+    assert np.abs(out - expect[:, None]).max() < 0.02
+
+    # ftc: box means of a constant are exactly the constant
+    fine_lon = np.arange(0, 360, 1.0) + 0.5
+    fine_lat = np.linspace(-89.5, 89.5, 180)
+    fine = np.full((180, 360), 7.5)
+    lon_edges = np.arange(0, 361, 30.0)
+    lat_edges = np.linspace(-90, 90, 7)
+    out = ftc(fine, fine_lon, fine_lat, lon_edges, lat_edges)
+    assert np.allclose(out, 7.5)

@@ -207,3 +207,45 @@ def test_surface_pressure_scan_driver():
     s = m.run_scan(s, f, 18)
     assert not bool(jnp.isnan(s.t).any())
     assert not bool(jnp.isnan(s.ubar).any())
+
+
+@pytest.mark.parametrize("kw", [
+    dict(fct_variant="dlm2"),
+    dict(fct_3d=True),
+    dict(fct_variant="dlm2", fct_3d=True),
+])
+def test_fct_variant_stable_and_bounded(kw):
+    """dlm2 / 3-d FCT delimiters (tracer_adv_flx.F:376-1005 O_fct_dlm2
+    / O_fct_3d): stable and monotone (no new extrema beyond the IC
+    range) in the model; the smooth spinup may not activate the extra
+    delimiters, so the behavioural difference is asserted at flux level
+    in test_fct_variant_flux_level."""
+    m, s, f = _setup(tracer_advection="fct", **kw)
+    s = m.run(s, f, 20)
+    t = np.asarray(s.t[0])
+    assert not np.isnan(t).any()
+    assert t.max() < 20.5 and t.min() > -0.5   # FCT monotonicity
+
+
+def test_fct_variant_flux_level():
+    """On harsh fields the dlm2 extrema and the 3-d delimiter produce
+    genuinely different corrected fluxes than dlm1."""
+    from uvic_tpu.ops.advection import fct_flux
+    km, jmt, imt = 4, 8, 10
+    rng = np.random.default_rng(0)
+    t_tau = jnp.asarray(rng.normal(size=(1, km, jmt, imt))) * 5
+    t_tm1 = t_tau + 0.3 * jnp.asarray(
+        rng.normal(size=(1, km, jmt, imt)))
+    vet = jnp.asarray(rng.normal(size=(1, km, jmt, imt))) * 50
+    vnt = jnp.asarray(rng.normal(size=(1, km, jmt, imt))) * 50
+    vbt = jnp.asarray(rng.normal(size=(1, km, jmt, imt))) * 5
+    tmask = jnp.ones((1, km, jmt, imt))
+    c2dt = jnp.full((1, km, 1, 1), 7200.0)
+    args = (t_tau, t_tm1, vet, vnt, vbt, tmask, c2dt,
+            jnp.full((jmt, imt), 1 / 4e7), jnp.full((jmt, 1), 1 / 4e7),
+            jnp.full((km, 1, 1), 1 / 1e4))
+    base = fct_flux(*args)
+    f3d = fct_flux(*args, fct3d=True)
+    dlm2 = fct_flux(*args, variant="dlm2")
+    assert float(jnp.abs(base[0] - f3d[0]).max()) > 0.0
+    assert float(jnp.abs(base[0] - dlm2[0]).max()) > 0.0

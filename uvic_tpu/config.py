@@ -132,6 +132,9 @@ class OceanConfig:
     s_dm: float = 0.1e-2                       # half width scaling for dm taper
     # scheme selection (static flags)
     tracer_advection: str = TracerAdvection.FCT
+    fct_variant: str = "dlm1"                  # O_fct_dlm1 | O_fct_dlm2
+    fct_3d: bool = False                       # O_fct_3d extra delimiter
+    convect_brine: bool = False                # O_convect_brine
     barotropic: str = BarotropicMode.STREAM_FUNCTION
     vmix: str = VerticalMixing.CONST
     hmix: str = HorizontalMixing.CONST

@@ -172,13 +172,53 @@ def _coast_distance(land: np.ndarray) -> np.ndarray:
 
 def earth_depth(grid: Grid) -> np.ndarray:
     """(jmt, imt) T-cell depth [cm]: shelf/slope by distance to coast,
-    deep basins, shallower Arctic."""
+    deep basins, the major mid-ocean ridge systems, shallower Arctic.
+
+    The ridges matter dynamically, not just cosmetically: without
+    topographic form stress a flat-bottom circumpolar channel spins up
+    an unbounded ACC (the momentum balance of the real Southern Ocean
+    runs through the Drake/Kerguelen/Pacific-Antarctic sills)."""
     land = land_mask(grid)
     lat = np.asarray(grid.yt)[:, None]
     d = _coast_distance(land)
     # slope: 1 cell off coast ~2200 m, 2 cells ~3800 m, deep ~5000 m
     depth_m = 5000.0 * (1.0 - np.exp(-np.maximum(d, 0.0) / 1.2))
     depth_m = np.where(lat > 70.0, np.minimum(depth_m, 2500.0), depth_m)
+
+    lonf = np.asarray(grid.xt)[None, :] % 360.0
+    LON = np.broadcast_to(lonf, depth_m.shape)
+    LAT = np.broadcast_to(lat, depth_m.shape)
+
+    def ridge(lon_of_lat, la1, la2, half_w, sill):
+        """Meridional ridge along lon_of_lat(lat), gaussian flanks."""
+        lr = lon_of_lat(LAT)
+        dlon = (LON - lr + 180.0) % 360.0 - 180.0
+        inlat = (LAT >= la1) & (LAT <= la2)
+        bump = np.exp(-0.5 * (dlon / half_w) ** 2)
+        return np.where(inlat, sill + (5000.0 - sill) * (1.0 - bump),
+                        5000.0)
+
+    # Mid-Atlantic Ridge (meandering S-shape)
+    depth_m = np.minimum(depth_m, ridge(
+        lambda la: 342.0 + 0.25 * la - 12.0 * (la < -5.0), -55.0, 65.0,
+        6.0, 3000.0))
+    # East Pacific Rise
+    depth_m = np.minimum(depth_m, ridge(
+        lambda la: 247.0 - 0.5 * la, -60.0, 5.0, 7.0, 3200.0))
+    # Southwest/Central Indian Ridge
+    depth_m = np.minimum(depth_m, ridge(
+        lambda la: 68.0 - 0.4 * la, -55.0, -10.0, 7.0, 3300.0))
+    # circumpolar sills: Drake/Scotia arc and Kerguelen plateau
+    drake = ((LON >= 288.0) & (LON < 306.0)
+             & (LAT >= -64.0) & (LAT <= -54.0))
+    depth_m = np.where(drake, np.minimum(depth_m, 3000.0), depth_m)
+    kerg = ((LON >= 68.0) & (LON < 84.0)
+            & (LAT >= -58.0) & (LAT <= -46.0))
+    depth_m = np.where(kerg, np.minimum(depth_m, 2200.0), depth_m)
+    pac_ant = ((LON >= 180.0) & (LON < 230.0)
+               & (LAT >= -66.0) & (LAT <= -56.0))
+    depth_m = np.where(pac_ant, np.minimum(depth_m, 3000.0), depth_m)
+
     depth_m = np.where(land, 0.0, np.maximum(depth_m, 0.0))
     # carved straits override
     lon = np.asarray(grid.xt)[None, :] % 360.0
@@ -228,6 +268,23 @@ def earth_kmt(grid: Grid) -> np.ndarray:
     # drop 1-cell land islands that only touch diagonally (they break
     # no physics but add needless island constraint equations)
     return kmt
+
+
+def atlantic_mask(grid: Grid) -> np.ndarray:
+    """(jmt, imt) 1.0 on Atlantic-sector cells (for the basin MOC
+    diagnostic, diagi.F overturning by basin): lon 260-360/0-20
+    narrowing to the Atlantic proper north of the Gulf of Mexico,
+    lat -34..70."""
+    lon = np.asarray(grid.xt)[None, :] % 360.0
+    lat = np.asarray(grid.yt)[:, None]
+    LON = np.broadcast_to(lon, (grid.jmt, grid.imt))
+    LAT = np.broadcast_to(lat, (grid.jmt, grid.imt))
+    west = np.where(LAT > 18.0, 278.0, 290.0)   # exclude Gulf/Caribbean
+    sector = ((LON >= west) | (LON < 20.0)) & (LAT >= -34.0) \
+        & (LAT <= 70.0)
+    # exclude the Pacific side south of Panama
+    sector &= ~((LON >= 260.0) & (LON < 285.0) & (LAT < 8.0))
+    return sector.astype(np.float64)
 
 
 def earth_elevation(grid: Grid) -> np.ndarray:

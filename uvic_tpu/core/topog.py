@@ -171,14 +171,17 @@ def make_topography(grid: Grid, kmt: np.ndarray) -> Topography:
         hr = np.where(h > 0, 1.0 / np.maximum(h, 1e-30), 0.0)
     ht = np.einsum("k,kji->ji", grid.dzt, tmask)
 
-    # island labeling + perimeters
+    # island labeling + perimeters.  Land masses whose ocean perimeters
+    # COLLIDE (separated by a 1-cell channel) are MERGED into one
+    # constraint: a shared perimeter cell cannot satisfy two island
+    # integrals, and the reference handles such geometries by editing
+    # kmt until they vanish (isleperim.F kmt-repair); constraining both
+    # masses to one psi constant is the equivalent no-net-transport
+    # condition through the unresolvable channel.
     land_map, nisle = _label_land(kmt, grid.cyclic)
-    perim_id = np.full((jmt, imt), -1, dtype=np.int32)
     ocean = kmt > 0
-    # perimeter of land mass = ocean cells 8-adjacent to it (with wrap)
-    collision = np.zeros((jmt, imt), dtype=bool)
-    for isle in range(1, nisle + 1):
-        mask = land_map == isle
+
+    def perimeter_of(mask):
         grown = ndimage.binary_dilation(mask, structure=np.ones((3, 3)))
         if grid.cyclic:
             seamL = ndimage.binary_dilation(
@@ -193,16 +196,27 @@ def make_topography(grid: Grid, kmt: np.ndarray) -> Topography:
         # segment sums double-count and the CG island equations break
         perim[:, 0] = False
         perim[:, -1] = False
-        collision |= perim & (perim_id >= 0)
-        perim_id[perim] = isle - 1
-    if collision.any():
-        # the reference refuses such geometries and edits kmt
-        # (isleperim.F perimeter-collision removal); we assign the cell to
-        # the later island and warn — the psi constraint remains solvable
-        # but the geometry should be cleaned up.
-        import warnings
-        warnings.warn(f"{collision.sum()} island perimeter collisions; "
-                      "colliding cells assigned to one island arbitrarily")
+        return perim
+
+    for _ in range(nisle):
+        perim_id = np.full((jmt, imt), -1, dtype=np.int32)
+        merge = {}
+        for isle in range(1, nisle + 1):
+            perim = perimeter_of(land_map == isle)
+            clash = np.unique(perim_id[perim & (perim_id >= 0)])
+            for other in clash:
+                merge[isle] = int(other) + 1
+            perim_id[perim] = isle - 1
+        if not merge:
+            break
+        for a, b in merge.items():
+            land_map[land_map == a] = b
+        # compact labels 1..n
+        labels = np.unique(land_map[land_map > 0])
+        relab = np.zeros(land_map.max() + 1, dtype=np.int32)
+        relab[labels] = np.arange(1, labels.size + 1)
+        land_map = np.where(land_map > 0, relab[land_map], 0)
+        nisle = labels.size
     counts = np.bincount(perim_id[perim_id >= 0], minlength=max(nisle, 1))
 
     sizes = np.bincount(land_map[land_map > 0], minlength=nisle + 1)

@@ -59,6 +59,10 @@ class CoupledModel:
         # the caller/logs
         from ..checks import validate
         self.config_warnings = validate(cfg)
+        if cfg.ocean.convect_brine and (cfg.ice.cpts > 0
+                                        or not cfg.ice.enabled):
+            raise ValueError("O_convect_brine requires the 0-layer ice "
+                             "model (cpts carries its own categories)")
         self.cfg = cfg
         self.ocean = make_ocean(cfg, kmt=kmt, topo_kind=topo_kind)
         grid = self.ocean.params.grid
@@ -91,6 +95,7 @@ class CoupledModel:
         self.dc14ccn = 0.0      # atmospheric Delta-14C [permil]
         self.solar_scale = 1.0  # transient (solar - volcanic)/solarconst
         self.sulph = None       # sulphate coalbedo-reduction field
+        self.sealev = 0.0       # sea level rel. present [cm] (sealevdata)
         from ..io.forcing import sulphate_pattern
         self._sulph_pattern = jnp.asarray(
             sulphate_pattern(grid.yt, imt=grid.imt), dtype=cfg.np_dtype)
@@ -381,6 +386,12 @@ class CoupledModel:
             wspd=dts * wspd_a,
             time=dts,
         )
+        if self.cfg.ocean.convect_brine and "brine_open" in oadj:
+            # therm.F:440-460 cbf/cba accumulators
+            acc["cbf"] = jnp.stack([oadj["brine_open"],
+                                    oadj["brine_ice"]])
+            acc["cba"] = dts * jnp.stack([oadj["brine_ao"],
+                                          oadj["brine_ai"]])
         return new_atm, ice, acc, cpts_st
 
     # ------------------------------------------------------------------
@@ -405,7 +416,17 @@ class CoupledModel:
         fs = -SOCN / atatm             # freshwater -> virtual salt flux
         tmsk = self.embm.tmsk
         hflx = fh * acc["heat"] * tmsk
-        sflx = fs * acc["freshwater"] * tmsk
+        cbf_salt = cba_w = None
+        if "cbf" in acc:
+            # O_convect_brine: the ice growth/melt part of the virtual
+            # salt flux is delivered through per-category convection
+            # (convect_brine.F) instead of the surface row
+            m = acc["cbf"]
+            sflx = fs * (acc["freshwater"] - m.sum(0)) * tmsk
+            cbf_salt = fs * m * tmsk[None]
+            cba_w = jnp.clip(acc["cba"] / atatm, 0.0, 1.0) * tmsk[None]
+        else:
+            sflx = fs * acc["freshwater"] * tmsk
         smf = jnp.stack([acc["taux"], acc["tauy"]]) / atatm / 1.035
 
         idx = self.ocean.tracer_index
@@ -451,7 +472,8 @@ class CoupledModel:
 
         return make_forcing(smf, stf, swr=swr_mean, aice=state.ice.aice,
                             hice=state.ice.hice, hsno=state.ice.hsno,
-                            relyr=relyr, btf=btf)
+                            relyr=relyr, btf=btf, cbf=cbf_salt,
+                            cba=cba_w)
 
     # ------------------------------------------------------------------
     def _segment_scalars(self) -> dict:
@@ -483,6 +505,10 @@ class CoupledModel:
             self._segment_jit = jax.jit(self._segment_core)
         state, diag = self._segment_jit(state, self._segment_scalars())
         self.last_acc = diag["acc"]
+        # per-step time means for the tavg stream (tracer.F:420-443
+        # in-step accumulation fidelity; Run consumes these instead of
+        # per-segment snapshots)
+        self.last_tavg = {**diag["tavg_ocean"], **diag["tavg_atm"]}
         if "nep" in diag:
             self.last_nep_kgC_s = diag["nep"]
         return state
@@ -528,20 +554,32 @@ class CoupledModel:
         z2 = jnp.zeros_like(sst)
         acc0 = dict(heat=z2, freshwater=z2, taux=z2, tauy=z2, swr=z2,
                     wspd=z2, time=jnp.zeros((), sst.dtype))
+        if self.cfg.ocean.convect_brine and self.cfg.ice.enabled:
+            acc0["cbf"] = jnp.zeros((2,) + sst.shape, sst.dtype)
+            acc0["cba"] = jnp.zeros((2,) + sst.shape, sst.dtype)
+        # per-substep tavg accumulation (the reference accumulates
+        # inside the step, embm_tavg; per-segment sampling aliases)
+        atav0 = dict(sat=z2, shum=z2, hice=z2, aice=z2, hsno=z2)
 
         def atm_body(carry, _):
-            atm_c, ice_c, cpts_c, acc_c = carry
+            atm_c, ice_c, cpts_c, acc_c, tav_c = carry
             mixing = atm_c.nats + 1 > self.cfg.embm.namix
             atm_n, ice_n, a, cpts_n = self._atm_ice_step_impl(
                 atm_c, ice_c, sst, frzpt, uocn, vocn, sc["anthro"],
                 wind_pkg, solins, cpts_c, land_gc, sc["sulph"],
                 mixing=mixing)
             acc_n = {k: acc_c[k] + a[k] for k in acc_c}
-            return (atm_n, ice_n, cpts_n, acc_n), None
+            tav_n = dict(sat=tav_c["sat"] + atm_n.at[0],
+                         shum=tav_c["shum"] + atm_n.at[1],
+                         hice=tav_c["hice"] + ice_n.hice,
+                         aice=tav_c["aice"] + ice_n.aice,
+                         hsno=tav_c["hsno"] + ice_n.hsno)
+            return (atm_n, ice_n, cpts_n, acc_n, tav_n), None
 
-        (atm, ice, cpts_st, acc), _ = jax.lax.scan(
-            atm_body, (atm, ice, state.cpts, acc0), None,
+        (atm, ice, cpts_st, acc, atav), _ = jax.lax.scan(
+            atm_body, (atm, ice, state.cpts, acc0, atav0), None,
             length=self.ntspas)
+        diag["tavg_atm"] = {k: v / self.ntspas for k, v in atav.items()}
 
         swr_mean = acc["swr"] / acc["time"]
         # segment flux totals for the conservation audit (global_sums.F
@@ -638,13 +676,34 @@ class CoupledModel:
 
         # ---- ocean substeps as one scan (mom.F leapfrog control) ------
         nmix = self.cfg.ocean.nmix
+        g = self.ocean.g
+        otav0 = dict(
+            temp=jnp.zeros_like(state.ocean.t[0]),
+            salt=jnp.zeros_like(state.ocean.t[1]),
+            u=jnp.zeros_like(state.ocean.t[0]),
+            v=jnp.zeros_like(state.ocean.t[0]),
+            psi=jnp.zeros_like(state.ocean.psi0))
 
         def ocean_body(carry, _):
-            lf = (carry.itt % nmix) != 0
-            return self.ocean._step(carry, forcing, leapfrog=lf), None
+            oc, tav_c = carry
+            lf = (oc.itt % nmix) != 0
+            oc = self.ocean._step(oc, forcing, leapfrog=lf)
+            # per-step tavg accumulation (tracer.F:420-443 semantics)
+            uf = self.ocean.full_velocity(oc.u, oc.psi0)
+            tav_n = dict(temp=tav_c["temp"] + oc.t[0],
+                         salt=tav_c["salt"] + oc.t[1],
+                         u=tav_c["u"] + uf[0], v=tav_c["v"] + uf[1],
+                         psi=tav_c["psi"] + oc.psi0)
+            return (oc, tav_n), None
 
-        ocean, _ = jax.lax.scan(ocean_body, state.ocean, None,
-                                length=self.ntspos)
+        (ocean, otav), _ = jax.lax.scan(
+            ocean_body, (state.ocean, otav0), None, length=self.ntspos)
+        diag["tavg_ocean"] = {
+            "temp": otav["temp"] / self.ntspos,
+            "salt": otav["salt"] / self.ntspos * 1000.0 + 35.0,
+            "u": otav["u"] / self.ntspos,
+            "v": otav["v"] / self.ntspos,
+            "psi": otav["psi"] / self.ntspos}
         return CoupledState(ocean=ocean, atm=atm, ice=ice, land=land,
                             sed=state.sed, cpts=cpts_st), diag
 
@@ -664,6 +723,13 @@ class CoupledModel:
                 self.anthro = 5.35e3 * np.log(self.co2ccn / 280.0)
                 self.dc14ccn = f["dc14ccn"]
                 self.solar_scale = f["solarconst"] / SOLARCONST
+                if "aggfor" in f:
+                    # additional GHG radiative forcing rides the same
+                    # longwave channel as CO2 (aggdata.F application
+                    # in fluxes.F anthro)
+                    self.anthro = self.anthro + f["aggfor"]
+                if "sealev" in f:
+                    self.sealev = f["sealev"]
                 if "sulph_scale" in f:
                     self.sulph = (self._sulph_pattern * f["sulph_scale"]
                                   if f["sulph_scale"] > 0.0 else None)

@@ -55,6 +55,9 @@ class Run:
         self._audit_start = None
         self._tavg_n = 0
         self._log = log or (lambda msg: None)
+        # surface config validation results (checks.F warn rules)
+        for w in getattr(model, "config_warnings", []) or []:
+            self._log(f"config warning: {w}")
 
     # -- restart ---------------------------------------------------------
     def restart_path(self, tag="restart"):
@@ -96,10 +99,13 @@ class Run:
                     f"(> {NCONV_ABORT}): aborting like tropic.F:249; "
                     f"state saved to restart_abort.npz")
 
-            # accumulate time averages once per segment (the reference
-            # accumulates per step inside the kernels; per-segment
-            # sampling is this driver's averaging granularity)
-            self.tavg.accumulate(coupled_tavg_fields(self.m, state))
+            # accumulate time averages: the fused segment provides
+            # PER-STEP means (tracer.F:420-443 in-step accumulation);
+            # fall back to per-segment snapshots otherwise
+            fields = getattr(self.m, "last_tavg", None)
+            if fields is None:
+                fields = coupled_tavg_fields(self.m, state)
+            self.tavg.accumulate(fields)
 
             sw = self.switches.evaluate(self.tm.days, seg_days)
             if sw["tsits"]:

@@ -46,7 +46,9 @@ class ConservationAudit:
     def drift(self, before: dict, after: dict) -> dict:
         out = {}
         for k in before:
-            scale = abs(before[k]) + 1e-30
+            # scale by the larger magnitude (a zero initial inventory,
+            # e.g. model-unit salt, must not blow the relative number)
+            scale = max(abs(before[k]), abs(after[k]), 1e-30)
             out[k] = (after[k] - before[k]) / scale
         return out
 

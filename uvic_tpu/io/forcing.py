@@ -89,6 +89,28 @@ def c14_series(path=None) -> TransientSeries:
     return TransientSeries(years, permil)
 
 
+def agg_series(path=None) -> TransientSeries:
+    """Additional (non-CO2) greenhouse-gas radiative forcing vs year
+    (aggdata.F O_aggfor_data): CH4 + N2O + halocarbons, in erg/cm^2/s
+    (1 W/m^2 = 1e3 erg/cm^2/s).  Default: the published anthropogenic
+    non-CO2 GHG forcing history (decadal anchors)."""
+    if path:
+        return TransientSeries.from_csv(path)
+    years = np.array([1000, 1850, 1900, 1950, 1970, 1990, 2000, 2010,
+                      2020], dtype=float)
+    wm2 = np.array([0.0, 0.0, 0.06, 0.18, 0.38, 0.72, 0.82, 0.92,
+                    1.05])
+    return TransientSeries(years, wm2 * 1.0e3)
+
+
+def sealev_series(path=None) -> TransientSeries:
+    """Sea level relative to present [cm] vs year (sealevdata.F);
+    default zero (the 21ka deglaciation curve is paleo data)."""
+    if path:
+        return TransientSeries.from_csv(path)
+    return TransientSeries.constant(0.0)
+
+
 def sulphate_series(path=None) -> TransientSeries:
     """Anthropogenic sulphate aerosol optical-depth SCALE vs year
     (sulphdata.F reads gridded loadings; we carry the global burden
@@ -155,6 +177,8 @@ class TransientForcing:
     cfc12_n: TransientSeries = None
     cfc12_s: TransientSeries = None
     sulph: TransientSeries = None
+    agg: TransientSeries = None
+    sealev: TransientSeries = None
 
     @classmethod
     def default(cls):
@@ -162,7 +186,8 @@ class TransientForcing:
                    volcanic=volcanic_series(), c14=c14_series(),
                    cfc11_n=cfc_series(11, "n"), cfc11_s=cfc_series(11, "s"),
                    cfc12_n=cfc_series(12, "n"), cfc12_s=cfc_series(12, "s"),
-                   sulph=sulphate_series())
+                   sulph=sulphate_series(), agg=agg_series(),
+                   sealev=sealev_series())
 
     def at(self, year: float) -> dict:
         out = dict(
@@ -172,6 +197,10 @@ class TransientForcing:
         )
         if self.sulph is not None:
             out["sulph_scale"] = self.sulph.at(year)
+        if self.agg is not None:
+            out["aggfor"] = self.agg.at(year)
+        if self.sealev is not None:
+            out["sealev"] = self.sealev.at(year)
         if self.cfc11_n is not None:
             out.update(
                 cfc11ccnn=self.cfc11_n.at(year),

@@ -87,3 +87,37 @@ def restoring_stf(stf, t_surface, sst_field, sss_field, relyr,
             sss_field(relyr), t_surface[1], dampts[1], dampdz[1])
             * tmask_surf)
     return stf
+
+
+def default_surface_climatology(grid, dtype=np.float64):
+    """Analytic seasonal SST/SSS monthly climatology — the in-repo
+    stand-in for O_tempsur.nc / O_salsur.nc (data.F:60-200 readers;
+    the reference's files are not shipped).
+
+    SST: zonal profile with a +/-1.8 deg-lat-dependent seasonal cycle
+    peaking in late summer of each hemisphere; floor at freezing.
+    SSS: zonal profile with subtropical maxima (model salinity units
+    (S-35)/1000).
+
+    Returns (sst_field, sss_field) as TimeInterpField (12 records).
+    """
+    lat = np.asarray(grid.yt)[:, None]
+    jmt, imt = grid.jmt, grid.imt
+    months = (np.arange(12) + 0.5) / 12.0
+    sst = np.zeros((12, jmt, imt))
+    sss = np.zeros((12, jmt, imt))
+    latr = np.deg2rad(lat)
+    annual_sst = -1.9 + 29.0 * np.maximum(np.cos(latr), 0.0) ** 2
+    # amplitude grows poleward, capped; phase opposite per hemisphere
+    amp = np.minimum(8.0, 0.14 * np.abs(lat))
+    sss_zonal = (35.0 + 1.2 * np.exp(-((np.abs(lat) - 25.0) / 15.0) ** 2)
+                 - 1.5 * np.exp(-(lat / 10.0) ** 2)
+                 - 2.0 * np.maximum(np.abs(lat) - 55.0, 0.0) / 35.0)
+    for mrec, tfrac in enumerate(months):
+        # NH max late August (t ~ 0.65), SH opposite
+        phase = np.cos(2.0 * np.pi * (tfrac - 0.65))
+        cyc = amp * phase * np.sign(lat)
+        sst[mrec] = np.maximum(annual_sst + cyc, -1.9)
+        sss[mrec] = sss_zonal
+    return (TimeInterpField(sst, dtype=dtype),
+            TimeInterpField((sss - 35.0) / 1000.0, dtype=dtype))

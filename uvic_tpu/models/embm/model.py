@@ -134,7 +134,12 @@ class EmbmModel:
         sca_o = 0.87 + 0.02 * np.cos(
             2.0 * np.deg2rad(np.abs(np.broadcast_to(grid.yt[:, None],
                                                     (jmt, imt)))))
-        sca_l = np.full((jmt, imt), 0.80)   # land surface coalbedo
+        # land surface coalbedo: temperate value dropping to ice-sheet
+        # albedo poleward of ~60 deg (the reference reads this from
+        # data, setembm.F:265; a uniform 0.80 bakes Antarctica in polar
+        # summer until the Thompson-Warren OLR fit leaves its range)
+        alat = np.abs(np.broadcast_to(grid.yt[:, None], (jmt, imt)))
+        sca_l = 0.80 - 0.55 / (1.0 + np.exp(-(alat - 63.0) / 4.0))
         self.sca = jn(np.where(topo.kmt > 0, sca_o, sca_l))
 
         self.anthro = 0.0   # CO2 radiative forcing (co2forc)
@@ -198,12 +203,20 @@ class EmbmModel:
         dnswr = solins * self.aca * C.PASS * sca
 
         b = C.TW_B
+        # Thompson-Warren OLR is a cubic FIT valid for moderate teff;
+        # evaluated far outside its range the cubic bends downward
+        # (less OLR when warmer -> radiative runaway).  Clamp the
+        # polynomial argument and continue linearly with a blackbody
+        # slope (~4 sigma T^3 ~ 5e3 erg/cm^2/s/K) beyond it.
+        teff_c = jnp.clip(teff, -60.0, 45.0)
         outlwr = 1.0e3 * (
             b["b00"] + b["b10"] * rh + b["b20"] * rh ** 2
-            + (b["b01"] + b["b11"] * rh + b["b21"] * rh ** 2) * teff
-            + (b["b02"] + b["b12"] * rh + b["b22"] * rh ** 2) * teff ** 2
-            + (b["b03"] + b["b13"] * rh + b["b23"] * rh ** 2) * teff ** 3
-        ) - anthro
+            + (b["b01"] + b["b11"] * rh + b["b21"] * rh ** 2) * teff_c
+            + (b["b02"] + b["b12"] * rh + b["b22"] * rh ** 2)
+            * teff_c ** 2
+            + (b["b03"] + b["b13"] * rh + b["b23"] * rh ** 2)
+            * teff_c ** 3
+        ) + 5.0e3 * (teff - teff_c) - anthro
 
         fb = 0.94 * C.RHOATM * C.CPATM
         if wspd is None:

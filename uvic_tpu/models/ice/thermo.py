@@ -252,9 +252,22 @@ def ice_thermodynamics(ice: IceState, atm_sat, atm_shum, rh, sst, frzpt,
         upltnt=ocean * upltnt_o + (1 - ocean) * upltnt_l2,
         evap=ocean * evap_o + (1 - ocean) * evap,
     )
+    # per-category brine masses for O_convect_brine (therm.F:440-460
+    # cbf/cba accumulators): index 0 = open-water (lead) FORMATION
+    # (dho enters the budget only when positive — negative dho over
+    # ice-free water is potential melt of nonexistent ice), 1 =
+    # under-ice growth/melt + snow-ice changes; [g/cm^2 per step],
+    # negative = freshwater removed (salt rejected)
+    brine_open = ocean * (-C.RHOICE) * ao * jnp.maximum(dho, 0.0)
+    brine_ice = ocean * (-C.RHOICE * dhflxi - C.RHOSNO * dhflxs) \
+        - brine_open
     ocean_flux_adj = dict(
         heat=ocean * dflux_sat,
         freshwater=ocean * dflux_shum + (1 - ocean) * dflux_shum_land * dts,
+        brine_open=brine_open,
+        brine_ice=brine_ice * ocean,
+        brine_ao=ocean * ao,
+        brine_ai=ocean * ai,
     )
     return new, fluxes, ocean_flux_adj
 

@@ -79,7 +79,8 @@ def adv_vel(u, v, g, cyclic=True):
 
 def tracer_step(t_tau, t_tm1, vet, vnt, vbt, stf, btf, source,
                 diff_cbt, kmt, tmask, g, c2dtts, scheme: str,
-                aidif: float, cyclic=True, iso=None, hmix=None):
+                aidif: float, cyclic=True, iso=None, hmix=None,
+                fct_variant="dlm1", fct3d=False):
     """One tracer timestep for all tracers (tracer.F:678-916).
 
     t_tau/t_tm1 : (nt, km, jmt, imt)
@@ -105,7 +106,8 @@ def tracer_step(t_tau, t_tm1, vet, vnt, vbt, stf, btf, source,
     if scheme == "fct":
         fe, fn, fb = fct_flux(t_tau, t_tm1, vet[None], vnt[None], vbt[None],
                               tmask[None], twodt[None], g.cstdxt2r,
-                              g.cstdyt2r[:, None], dzt2r, cyclic)
+                              g.cstdyt2r[:, None], dzt2r, cyclic,
+                              variant=fct_variant, fct3d=fct3d)
     elif scheme == "centered":
         fe, fn, fb = centered_flux(t_tau, vet[None], vnt[None], vbt[None])
     elif scheme == "upstream":

@@ -60,10 +60,14 @@ class SurfaceForcing:
     # cell of each column; NEGATIVE = flux upward INTO the bottom cell
     # (sediment dissolution return, tracer.F sed bottom source)
     btf: jnp.ndarray = None
+    # O_convect_brine: per-ice-category brine salt fluxes (ncat+1,j,i)
+    # and area weights; injected via convct_brine instead of stf[salt]
+    cbf: jnp.ndarray = None
+    cba: jnp.ndarray = None
 
 
 def make_forcing(smf, stf, swr=None, aice=None, hice=None, hsno=None,
-                 relyr=0.0, btf=None):
+                 relyr=0.0, btf=None, cbf=None, cba=None):
     """SurfaceForcing with zero-filled optional fields."""
     z = jnp.zeros_like(smf[0])
     return SurfaceForcing(
@@ -74,6 +78,7 @@ def make_forcing(smf, stf, swr=None, aice=None, hice=None, hsno=None,
         hsno=z if hsno is None else hsno,
         relyr=jnp.asarray(relyr, smf.dtype),
         btf=jnp.zeros_like(stf) if btf is None else btf,
+        cbf=cbf, cba=cba,
     )
 
 
@@ -317,6 +322,8 @@ class OceanModel:
         if on_tpu and cfg.parallel.mesh_shape == (1, 1) \
                 and cfg.np_dtype == np.float32 \
                 and cfg.ocean.tracer_advection == "fct" \
+                and cfg.ocean.fct_variant == "dlm1" \
+                and not cfg.ocean.fct_3d \
                 and cfg.ocean.hmix == "const":
             from ...ops.pallas_tracer import make_fct_tracer_step
             has_src = (self.npzd is not None
@@ -579,10 +586,21 @@ class OceanModel:
                 t_tau, tm1, vet_t, vnt_t, vbt_t, stf, btf, source,
                 diff_cbt, self.kmt, self.tmask, g, c2dtts,
                 cfg.tracer_advection, aidif, self.cyclic, iso=iso,
-                hmix=hmix_t)
+                hmix=hmix_t, fct_variant=cfg.fct_variant,
+                fct3d=cfg.fct_3d)
 
-        # convective adjustment (convect.F)
-        if cfg.convection == Convection.FULL:
+        # convective adjustment (convect.F); with O_convect_brine the
+        # ice-category brine fluxes drive per-category convection
+        # (convect_brine.F) instead of entering stf[salt]
+        if cfg.convect_brine and forcing.cbf is not None:
+            from ...ops.convection import convct_brine
+            cba0 = jnp.maximum(0.0, 1.0 - forcing.cba.sum(0)) \
+                * self.tmask[0]
+            t_new = convct_brine(
+                t_new, forcing.cbf, forcing.cba, cba0, self.kmt,
+                self.eos_c, self.eos_to, self.eos_so, self.dztxcl,
+                c2dtts, float(self.params.grid.zw[0]))
+        elif cfg.convection == Convection.FULL:
             t_new = convct_full(t_new, self.kmt, self.eos_c, self.eos_to,
                                 self.eos_so, self.dztxcl)
         else:
@@ -710,6 +728,40 @@ class OceanModel:
         for n in range(nsteps):
             leapfrog = (int(state.itt) % nmix) != 0
             state = self.step(state, forcing, leapfrog=leapfrog)
+        return state
+
+    def run_restoring(self, state: OceanState, smf,
+                      sst_field=None, sss_field=None, nseg: int = 1,
+                      seg_days: float = 30.0, relyr0: float = 0.0,
+                      yrlen: float = 365.0) -> OceanState:
+        """Ocean-only production driver with Newtonian surface
+        restoring (O_restorst, data.F:119-142): each segment
+        interpolates the SST/SSS climatology at the segment midpoint,
+        converts it to surface fluxes against the CURRENT surface state
+        (setvbc restoring path), and scans the segment's steps as one
+        device program.  This is the classic spin-up configuration of
+        the reference (restoring run before coupling).
+
+        smf : (2, jmt, imt) wind stress; sst_field/sss_field :
+        io.timeforce.TimeInterpField or None.
+        """
+        from ...io.timeforce import default_surface_climatology
+        if sst_field is None and sss_field is None:
+            sst_field, sss_field = default_surface_climatology(
+                self.params.grid, dtype=self.cfg.np_dtype)
+        nsteps = max(1, round(seg_days * 86400.0 / self.cfg.ocean.dtts))
+        stf0 = jnp.zeros((self.nt, self.params.grid.jmt,
+                          self.params.grid.imt), self.cfg.np_dtype)
+        relyr = relyr0
+        for _ in range(nseg):
+            mid = relyr + 0.5 * seg_days / yrlen
+            forcing = make_forcing(smf, stf0,
+                                   relyr=jnp.asarray(mid,
+                                                     self.cfg.np_dtype))
+            forcing = self.apply_restoring(forcing, state, sst_field,
+                                           sss_field, relyr=mid)
+            state = self.run_scan(state, forcing, nsteps)
+            relyr += seg_days / yrlen
         return state
 
     def run_scan(self, state: OceanState, forcing: SurfaceForcing,

@@ -130,13 +130,20 @@ def _limit(anti, cpos, cneg):
 
 
 def fct_flux(t_tau, t_tm1, vet, vnt, vbt, tmask, c2dtts_k,
-             cstdxt2r, cstdyt2r, dzt2r, cyclic=True):
-    """Zalesak FCT fluxes (tracer_adv_flx.F:376-1005, O_fct_dlm1 path).
+             cstdxt2r, cstdyt2r, dzt2r, cyclic=True,
+             variant="dlm1", fct3d=False):
+    """Zalesak FCT fluxes (tracer_adv_flx.F:376-1005).
 
     t_tau, t_tm1 : (km, jmt, imt) tracer at tau and tau-1
     vet/vnt/vbt  : total advective velocities (incl. GM if enabled)
     c2dtts_k     : (km,1,1) leapfrog interval x dtxcel acceleration
     cstdxt2r     : (jmt, imt); cstdyt2r: (jmt,1); dzt2r: (km,1,1)
+    variant      : "dlm1" — extrema from halfway tau means (O_fct_dlm1)
+                   "dlm2" — extrema from the low-order neighbor
+                   solution (O_fct_dlm2, tracer_adv_flx.F:659-666)
+    fct3d        : apply the additional 3-D delimiter coupling all
+                   directions after the 1-D passes (O_fct_3d,
+                   tracer_adv_flx.F:880-977)
     returns (fe, fn, fb) corrected 2x-fluxes.
     """
     tmaski = 1.0 - tmask
@@ -164,57 +171,103 @@ def fct_flux(t_tau, t_tm1, vet, vnt, vbt, tmask, c2dtts_k,
         rmn = jnp.minimum(1.0, tmask * q_minus / (p_minus + EPSLN))
         return rpl, rmn
 
+    dlm2 = variant == "dlm2"
+
     # ---- x-direction delimiter ---------------------------------------
-    halfway = 0.5 * (W(t_tau) + t_tau)          # value at west face of cell
-    fxa = W(tmask) * halfway + W(tmaski) * t_lo
-    fxb = E(tmask) * E(halfway) + E(tmaski) * t_lo
-    trmax = jnp.maximum(jnp.maximum(fxa, fxb), t_lo)
-    trmin = jnp.minimum(jnp.minimum(fxa, fxb), t_lo)
+    if dlm2:
+        fxa = W(tmask) * W(t_lo) + W(tmaski) * t_lo
+        fxb = E(tmask) * E(t_lo) + E(tmaski) * t_lo
+    else:
+        halfway = 0.5 * (W(t_tau) + t_tau)      # value at west face
+        fxa = W(tmask) * halfway + W(tmaski) * t_lo
+        fxb = E(tmask) * E(halfway) + E(tmaski) * t_lo
+    trmax_x = jnp.maximum(jnp.maximum(fxa, fxb), t_lo)
+    trmin_x = jnp.minimum(jnp.minimum(fxa, fxb), t_lo)
     dcf = c2dtts_k * cstdxt2r
     p_plus = dcf * (jnp.maximum(0.0, W(anti_fe)) - jnp.minimum(0.0, anti_fe))
     p_minus = dcf * (jnp.maximum(0.0, anti_fe) - jnp.minimum(0.0, W(anti_fe)))
-    rpl, rmn = ratios(trmax, trmin, p_plus, p_minus)
+    rpl, rmn = ratios(trmax_x, trmin_x, p_plus, p_minus)
     rpl, rmn = setbcx(rpl, cyclic), setbcx(rmn, cyclic)
     cpos = jnp.minimum(E(rpl), rmn)             # at east face of cell
     cneg = jnp.minimum(rpl, E(rmn))
     anti_fe = _limit(anti_fe, cpos, cneg)
 
     # ---- y-direction delimiter ---------------------------------------
-    hw_s = 0.5 * (S(t_tau) + t_tau)             # halfway to south neighbor
-    hw_n = 0.5 * (t_tau + N(t_tau))
-    fxa = S(tmask) * hw_s + S(tmaski) * t_lo
-    fxb = N(tmask) * hw_n + N(tmaski) * t_lo
-    trmax = jnp.maximum(jnp.maximum(fxa, fxb), t_lo)
-    trmin = jnp.minimum(jnp.minimum(fxa, fxb), t_lo)
+    if dlm2:
+        fxa = S(tmask) * S(t_lo) + S(tmaski) * t_lo
+        fxb = N(tmask) * N(t_lo) + N(tmaski) * t_lo
+    else:
+        hw_s = 0.5 * (S(t_tau) + t_tau)         # halfway to south neighbor
+        hw_n = 0.5 * (t_tau + N(t_tau))
+        fxa = S(tmask) * hw_s + S(tmaski) * t_lo
+        fxb = N(tmask) * hw_n + N(tmaski) * t_lo
+    trmax_y = jnp.maximum(jnp.maximum(fxa, fxb), t_lo)
+    trmin_y = jnp.minimum(jnp.minimum(fxa, fxb), t_lo)
     dcf = c2dtts_k * cstdyt2r
     p_plus = dcf * (jnp.maximum(0.0, S(anti_fn)) - jnp.minimum(0.0, anti_fn))
     p_minus = dcf * (jnp.maximum(0.0, anti_fn) - jnp.minimum(0.0, S(anti_fn)))
-    rply, rmny = ratios(trmax, trmin, p_plus, p_minus)
+    rply, rmny = ratios(trmax_y, trmin_y, p_plus, p_minus)
     cpos = jnp.minimum(N(rply), rmny)           # at north face of cell
     cneg = jnp.minimum(rply, N(rmny))
     anti_fn = _limit(anti_fn, cpos, cneg)
 
     # ---- z-direction delimiter ---------------------------------------
-    hw_up = 0.5 * (UP(t_tau) + t_tau)           # halfway to level above
-    hw_dn = 0.5 * (t_tau + DN(t_tau))
-    fxa = UP(tmask) * hw_up + UP(tmaski) * t_lo
+    if dlm2:
+        fxa = UP(tmask) * UP(t_lo) + UP(tmaski) * t_lo
+        fxb = DN(tmask) * DN(t_lo) + DN(tmaski) * t_lo
+    else:
+        hw_up = 0.5 * (UP(t_tau) + t_tau)       # halfway to level above
+        hw_dn = 0.5 * (t_tau + DN(t_tau))
+        fxa = UP(tmask) * hw_up + UP(tmaski) * t_lo
+        fxb = DN(tmask) * hw_dn + DN(tmaski) * t_lo
     fxa = fxa.at[..., 0, :, :].set(t_lo[..., 0, :, :])
-    fxb = DN(tmask) * hw_dn + DN(tmaski) * t_lo
     fxb = fxb.at[..., -1, :, :].set(t_lo[..., -1, :, :])
-    trmax = jnp.maximum(jnp.maximum(fxa, fxb), t_lo)
-    trmin = jnp.minimum(jnp.minimum(fxa, fxb), t_lo)
+    trmax_z = jnp.maximum(jnp.maximum(fxa, fxb), t_lo)
+    trmin_z = jnp.minimum(jnp.minimum(fxa, fxb), t_lo)
     dcf = c2dtts_k * dzt2r
     # for cell k: left flux = bottom face (k), right flux = top face (k-1)
     p_plus = dcf * (jnp.maximum(0.0, anti_fb)
                     - jnp.minimum(0.0, UP(anti_fb)))
     p_minus = dcf * (jnp.maximum(0.0, UP(anti_fb))
                      - jnp.minimum(0.0, anti_fb))
-    rplz, rmnz = ratios(trmax, trmin, p_plus, p_minus)
+    rplz, rmnz = ratios(trmax_z, trmin_z, p_plus, p_minus)
     # face k lies between cells k (above) and k+1 (below)
     cneg = jnp.minimum(DN(rplz), rmnz)
     cpos = jnp.minimum(rplz, DN(rmnz))
     anti_fb = _limit(anti_fb, cpos, cneg)
     anti_fb = anti_fb.at[..., -1, :, :].set(0.0)
+
+    # ---- 3-D delimiter on the pre-corrected fluxes (O_fct_3d,
+    # tracer_adv_flx.F:880-977): extrema over all directions, P sums
+    # all incoming/outgoing antidiffusive fluxes ----------------------
+    if fct3d:
+        tr3max = jnp.maximum(jnp.maximum(trmax_x, trmax_y), trmax_z)
+        tr3min = jnp.minimum(jnp.minimum(trmin_x, trmin_y), trmin_z)
+        q_plus = tr3max - t_lo
+        q_minus = t_lo - tr3min
+        den_p = EPSLN + c2dtts_k * (
+            cstdxt2r * (jnp.maximum(0.0, W(anti_fe))
+                        - jnp.minimum(0.0, anti_fe))
+            + cstdyt2r * (jnp.maximum(0.0, S(anti_fn))
+                          - jnp.minimum(0.0, anti_fn))
+            + dzt2r * (jnp.maximum(0.0, anti_fb)
+                       - jnp.minimum(0.0, UP(anti_fb))))
+        den_m = EPSLN + c2dtts_k * (
+            cstdxt2r * (jnp.maximum(0.0, anti_fe)
+                        - jnp.minimum(0.0, W(anti_fe)))
+            + cstdyt2r * (jnp.maximum(0.0, anti_fn)
+                          - jnp.minimum(0.0, S(anti_fn)))
+            + dzt2r * (jnp.maximum(0.0, UP(anti_fb))
+                       - jnp.minimum(0.0, anti_fb)))
+        r3p = setbcx(jnp.minimum(1.0, tmask * q_plus / den_p), cyclic)
+        r3m = setbcx(jnp.minimum(1.0, tmask * q_minus / den_m), cyclic)
+        anti_fe = _limit(anti_fe, jnp.minimum(E(r3p), r3m),
+                         jnp.minimum(r3p, E(r3m)))
+        anti_fn = _limit(anti_fn, jnp.minimum(N(r3p), r3m),
+                         jnp.minimum(r3p, N(r3m)))
+        anti_fb = _limit(anti_fb, jnp.minimum(r3p, DN(r3m)),
+                         jnp.minimum(DN(r3p), r3m))
+        anti_fb = anti_fb.at[..., -1, :, :].set(0.0)
 
     # ---- corrected totals --------------------------------------------
     fe = anti_fe + fe_lo

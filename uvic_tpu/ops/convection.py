@@ -131,3 +131,33 @@ def convct_full(ts, kmt, eos_c, eos_to, eos_so, dztxcl, max_iter=None):
         cond, body, (label0, jnp.asarray(True), jnp.asarray(0)))
     means = _region_means(ts, label, w)
     return jnp.where(ocean[None] > 0, means, ts)
+
+
+def convct_brine(ts, cbf, cba, cba0, kmt, eos_c, eos_to, eos_so,
+                 dztxcl, c2dtts, zw0, dtxcel0=1.0):
+    """Brine-rejection convection (convect_brine.F:1-101, O_convect_brine).
+
+    Under each ice category nc the category's brine salt flux
+    ``cbf[nc]`` [salt-unit cm/s] is injected into the surface level
+    (the reference's density-contrast spreading depth is disabled,
+    cont=0, convect_brine.F:45), complete convection (convct2) runs on
+    the perturbed profile, and the final tracers are the category-
+    area-weighted mean of the convected profiles; the ice-free part
+    ``cba0`` convects unperturbed.
+
+    ts   : (nt, km, jmt, imt) tracers at tau+1 (pre-convection)
+    cbf  : (ncat+1, jmt, imt) per-category brine fluxes (index 0 = open
+           water / lead ice growth)
+    cba  : (ncat+1, jmt, imt) per-category area weights
+    cba0 : (jmt, imt) ice-free weight; cba0 + sum(cba) = 1
+    zw0  : depth of the bottom of level 1 [cm]
+    """
+    ncatp1 = cbf.shape[0]
+    out = cba0[None, None] * convct_full(ts, kmt, eos_c, eos_to,
+                                         eos_so, dztxcl)
+    fac = c2dtts * dtxcel0 / zw0
+    for nc in range(ncatp1):
+        tsp = ts.at[1, 0].add(fac * cbf[nc])
+        out = out + cba[nc][None, None] * convct_full(
+            tsp, kmt, eos_c, eos_to, eos_so, dztxcl)
+    return out

@@ -133,7 +133,7 @@ def make_pallas_congrad(cf, z_pre, isl_onehot, isl_counts, interior,
         # null vector of the curl-form operator; project it out of the
         # preconditioned residual and iterate to stop the secular
         # growth that destroys the solution by cancellation
-        wvec = border(jnp.where(z_ref[:] != 0.0, 1.0, 0.0))
+        wvec = border((z_ref[:] != 0.0).astype(z_ref.dtype))
         ww = dot2(wvec, wvec)
 
         def deflate(x):

@@ -126,7 +126,7 @@ def congrad(cf, guess, forc, isl: IslandIndex, tol, max_iter: int,
     # the solve insensitive to reduction ordering.  The active set is
     # where the preconditioner diagonal is nonzero (make_inv masks
     # no-equation cells, congrad.F:871-874).
-    w = border(jnp.where(z != 0.0, 1.0, 0.0), cyclic)
+    w = border((z != 0.0).astype(z.dtype), cyclic)
     ww = dot2(w, w)
 
     def deflate(x):

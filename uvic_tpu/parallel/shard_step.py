@@ -29,7 +29,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .halo import (BAG_AXES, ExtendedStatics, crop, crop_window,
                    pack_exchange, pad_window, pad_zeros)
-from .mesh import sharding_tree
 
 
 class ShardedOceanStep:
@@ -100,8 +99,6 @@ class ShardedOceanStep:
         self.stat = ExtendedStatics(arrays, axes, g.jmt, g.imt,
                                     self.ny, self.nx, halo, fills,
                                     jmt_p=self.jmt_p, imt_p=self.imt_p)
-
-        spatial2 = P(*([None] * 0), self.yname, self.xname)
 
         def spec(ndim):
             if ndim < 2:
@@ -200,7 +197,8 @@ class ShardedOceanStep:
         t_new = tracer_step(
             t_tau, tm1, vet_t, vnt_t, vbt_t, stf, btf, source,
             diff_cbt, kmt, tmask, bag, c2dtts,
-            cfg.tracer_advection, aidif, True, iso=iso, hmix=hmix_t)
+            cfg.tracer_advection, aidif, True, iso=iso, hmix=hmix_t,
+            fct_variant=cfg.fct_variant, fct3d=cfg.fct_3d)
 
         rho = eos_state_from(m.eos_c, m.eos_to, m.eos_so, t_tau)
         u_int_new, zu = clinic_step(
