@@ -20,6 +20,10 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
+import uvic_tpu
+
+uvic_tpu.enable_compile_cache()
+
 
 def main(years=10, out="earth_run.json"):
     import jax

@@ -78,3 +78,96 @@ def test_iso_spinup_stable_and_conserves(ocean_iso):
     state = m.run(state, f, 20)
     assert not bool(jnp.isnan(state.t).any())
     assert abs(heat(state) - h0) / abs(h0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# O_full_tensor (isopyc.F full-tensor blocks; non-default reference option)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ocean_full():
+    cfg = small_config()
+    cfg = cfg.replace(ocean=dataclasses.replace(
+        cfg.ocean, isopycmix=True, gent_mcwilliams=True, full_tensor=True,
+        dtts=3600.0, dtuv=900.0, dtsf=900.0, tolrsf=1e8))
+    return make_ocean(cfg)
+
+
+def test_full_tensor_flat_isopycnals_match_small_angle(ocean_full,
+                                                       ocean_iso):
+    """With purely level isopycnals (no horizontal density gradient)
+    the full tensor reduces exactly to the small-angle result: K11/K22
+    collapse to the untapered Ai and K33/cross-terms vanish."""
+    m_f, m_s = ocean_full, ocean_iso
+    g = m_f.params.grid
+    t0 = np.zeros((2, g.km, g.jmt, g.imt))
+    t0[0] = (20.0 * np.exp(-np.asarray(g.zt) / 1000e2))[:, None, None]
+    t0 *= np.asarray(m_f.params.topo.tmask)
+    sf = m_f.init_state(t0)
+    ss = m_s.init_state(t0)
+    iso_f = compute_isopyc(sf.t, m_f.tmask, m_f.kmt, m_f.eos_c,
+                           m_f.eos_to, m_f.eos_so, m_f.g,
+                           m_f.cfg.ocean, True)
+    iso_s = compute_isopyc(ss.t, m_s.tmask, m_s.kmt, m_s.eos_c,
+                           m_s.eos_to, m_s.eos_so, m_s.g,
+                           m_s.cfg.ocean, True)
+    assert iso_f.full_tensor and not iso_s.full_tensor
+    # equality holds where the vertical density gradient is non-zero on
+    # all four face quadruples (at surface/bottom faces drodze = 0 and
+    # the full tensor's projection drops the face contribution while
+    # the small-angle form keeps it — reference behavior, isopyc.F:593
+    # vs :627): compare strict interior levels of full-depth columns
+    kmt = np.asarray(m_f.kmt)
+    tm = np.asarray(m_f.tmask)
+    km = tm.shape[0]
+    interior = np.zeros_like(tm, dtype=bool)
+    for k in range(1, km - 1):
+        interior[k] = (kmt > k + 1)
+    valid11 = interior & (np.roll(interior, -1, axis=2))
+    valid22 = interior & (np.roll(interior, -1, axis=1))
+    K11f, K11s = np.asarray(iso_f.K11), np.asarray(iso_s.K11)
+    K22f, K22s = np.asarray(iso_f.K22), np.asarray(iso_s.K22)
+    # rtol bounded below by EPSLN/drodze^2 contamination of the
+    # projection denominator (up to ~1e-4 at depth where the stratification decays)
+    np.testing.assert_allclose(K11f[valid11], K11s[valid11], rtol=1e-3)
+    np.testing.assert_allclose(K22f[valid22], K22s[valid22], rtol=1e-3)
+    assert float(jnp.abs(iso_f.K33).max()) < 1e-6
+
+
+def test_full_tensor_fields_bounded(ocean_full):
+    """Sloped isopycnals: the full tensor yields finite, non-negative
+    K components (the Gerdes re-scaling replaces the slope clip)."""
+    m = ocean_full
+    state = _init(m)
+    iso = compute_isopyc(state.t, m.tmask, m.kmt, m.eos_c, m.eos_to,
+                         m.eos_so, m.g, m.cfg.ocean, True)
+    for K in (iso.K11, iso.K22, iso.K33):
+        assert not bool(jnp.isnan(K).any())
+        assert float(K.min()) >= 0.0
+    # projection factors keep K11/K22 <= Ai0
+    assert float(iso.K11.max()) <= m.cfg.ocean.ahisop * 1.001
+    assert float(iso.K22.max()) <= m.cfg.ocean.ahisop * 1.001
+
+
+def test_full_tensor_spinup_stable_and_conserves(ocean_full):
+    """The full-tensor flux divergence conserves total tracer under
+    zero surface forcing and keeps the run finite."""
+    m = ocean_full
+    g = m.params.grid
+    state = _init(m)
+    dv = (np.asarray(g.dzt)[:, None, None]
+          * np.asarray(g.cst)[None, :, None]
+          * np.asarray(g.dyt)[None, :, None]
+          * np.asarray(g.dxt)[None, None, :]) \
+        * np.asarray(m.params.topo.tmask)
+    dv = dv[:, 1:-1, 1:-1]
+
+    def heat(s):
+        return float((np.asarray(s.t[0])[:, 1:-1, 1:-1] * dv).sum())
+
+    zero = jnp.zeros((2, g.jmt, g.imt))
+    f = SurfaceForcing(smf=zero, stf=zero)
+    h0 = heat(state)
+    state = m.run(state, f, 20)
+    assert not bool(jnp.isnan(state.t).any())
+    assert abs(heat(state) - h0) / abs(h0) < 1e-9

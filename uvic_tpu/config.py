@@ -144,6 +144,7 @@ class OceanConfig:
     convection: str = Convection.FULL
     isopycmix: bool = True                     # O_isopycmix (Redi)
     gent_mcwilliams: bool = True               # O_gent_mcwilliams
+    full_tensor: bool = False                  # O_full_tensor (vs small-angle)
     dm_taper: bool = False                     # O_dm_taper slope taper
     tidal_kv: bool = False                     # O_tidal_kv addition to kappa_h
     sf_npt: int = 5                            # O_sf_5_point | O_sf_9_point

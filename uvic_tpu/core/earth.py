@@ -287,6 +287,136 @@ def atlantic_mask(grid: Grid) -> np.ndarray:
     return sector.astype(np.float64)
 
 
+def _gauss(lat, c, w):
+    return np.exp(-0.5 * ((np.asarray(lat, dtype=float) - c) / w) ** 2)
+
+
+def earth_wind_stress(grid: Grid) -> np.ndarray:
+    """(2, jmt, imt) surface wind stress [dyn/cm^2] at U cells.
+
+    Analytic zonal-mean climatology standing in for the NCEP
+    A_windstrX/Y.nc fields the reference reads (setembm.F wind stress;
+    the data files are not shipped).  Magnitudes follow the published
+    zonal means: trade easterlies ~0.06 Pa, NH westerlies ~0.1 Pa, the
+    stronger SH westerlies ~0.17 Pa over the circumpolar channel, weak
+    polar easterlies.  1 Pa = 10 dyn/cm^2."""
+    lat = grid.yu
+    tx = (-0.65 * (_gauss(lat, 15.0, 9.0) + _gauss(lat, -15.0, 9.0))
+          + 1.0 * _gauss(lat, 45.0, 9.0) + 1.7 * _gauss(lat, -50.0, 9.0)
+          - 0.25 * _gauss(lat, 75.0, 7.0) - 0.25 * _gauss(lat, -66.0, 6.0))
+    # meridional component: trade-wind convergence toward the ITCZ
+    ty = (-0.20 * _gauss(lat, 12.0, 8.0) + 0.20 * _gauss(lat, -12.0, 8.0))
+    jmt, imt = grid.jmt, grid.imt
+    return np.stack([np.broadcast_to(tx[:, None], (jmt, imt)),
+                     np.broadcast_to(ty[:, None], (jmt, imt))]).copy()
+
+
+def earth_surface_wind(grid: Grid):
+    """(winds (2, jmt, imt) [cm/s], wspd (jmt, imt) [cm/s]).
+
+    Advecting winds for the EMBM transport operator plus the surface
+    wind speed entering every bulk formula (evaporation, sensible
+    heat, ice sublimation, gas-exchange piston velocity) — analytic
+    stand-ins for the reference's wind data at realistic amplitudes
+    (trades ~5 m/s easterly, SH westerlies ~9 m/s; scalar mean speed
+    ~5-8 m/s with the Southern Ocean maximum)."""
+    lat = grid.yu
+    u = 100.0 * (-5.0 * (_gauss(lat, 15.0, 10.0) + _gauss(lat, -15.0, 10.0))
+                 + 7.0 * _gauss(lat, 46.0, 11.0)
+                 + 9.0 * _gauss(lat, -50.0, 11.0)
+                 - 2.0 * _gauss(lat, 75.0, 7.0)
+                 - 2.0 * _gauss(lat, -66.0, 6.0))
+    # no meridional ADVECTING component: a sustained convergent v in
+    # the flux-form upstream operator (solve.F:571-607) pumps tracer
+    # into the convergence line faster than diffusion can remove it
+    # (e-folding |div v| ~ days); the real meridional moisture
+    # transport is carried by the Hadley-cell diffusivity enhancement
+    # (earth_atm_diff).  The ITCZ convergence lives in the STRESS
+    # field only (earth_wind_stress), where it belongs.
+    v = np.zeros_like(u)
+    wspd = 100.0 * (4.5 + 2.5 * (_gauss(lat, 15.0, 12.0)
+                                 + _gauss(lat, -15.0, 12.0))
+                    + 3.0 * _gauss(lat, 46.0, 12.0)
+                    + 5.0 * _gauss(lat, -52.0, 12.0))
+    jmt, imt = grid.jmt, grid.imt
+    winds = np.stack([np.broadcast_to(u[:, None], (jmt, imt)),
+                      np.broadcast_to(v[:, None], (jmt, imt))]).copy()
+    return winds, np.broadcast_to(wspd[:, None], (jmt, imt)).copy()
+
+
+def earth_atm_coalbedo(grid: Grid) -> np.ndarray:
+    """(jmt, imt) atmospheric coalbedo (stand-in for A_calb.nc).
+
+    Tuned so the combined atmosphere+surface system lands near the
+    observed planetary albedo structure (~0.25 tropics, ~0.34 at the
+    cloudy midlatitude storm tracks, ~0.6 poles with the bright
+    surface):  aca = 0.80 - 0.145 sin^2(lat) - storm-track dip."""
+    lat = np.asarray(grid.yt, dtype=float)
+    aca = (0.80 - 0.18 * np.sin(np.deg2rad(lat)) ** 2
+           - 0.02 * (_gauss(lat, 52.0, 12.0) + _gauss(lat, -52.0, 12.0)))
+    return np.broadcast_to(aca[:, None], (grid.jmt, grid.imt)).copy()
+
+
+def earth_atm_diff(grid: Grid):
+    """(diff_t, diff_q) atmospheric eddy diffusivities [cm^2/s]
+    (stand-in for the A_diff.nc A_difft*/A_diffq* fields; reference
+    fallback is a flat 5e9, setembm.F:265-266).
+
+    Heat: storm-track (baroclinic eddy) enhancement over the flat
+    background.  Moisture: Hadley-region enhancement with the flat
+    background elsewhere (the subtropical minimum keeps the dry zones
+    dry)."""
+    lat = grid.yt
+    dt_ = 5.0e9 * (0.9 + 1.3 * (_gauss(lat, 47.0, 13.0)
+                                + _gauss(lat, -50.0, 13.0))
+                   - 0.45 * (_gauss(lat, 90.0, 12.0)
+                             + _gauss(lat, -90.0, 12.0)))
+    dq = 5.0e9 * (0.9 + 0.7 * _gauss(lat, 0.0, 11.0))
+    jmt, imt = grid.jmt, grid.imt
+    return (np.broadcast_to(dt_[:, None], (jmt, imt)).copy(),
+            np.broadcast_to(dq[:, None], (jmt, imt)).copy())
+
+
+def earth_initial_ts(grid: Grid, kmt: np.ndarray):
+    """(temp (km,jmt,imt) [C], salt (km,jmt,imt) [model units
+    (S-35)/1000]) — a zonal-mean Levitus-like initial hydrography
+    (stand-in for the reference's Levitus IC data, setmom.F ic read).
+
+    Structure matters more than detail here: the polar halocline
+    (fresh, near-freezing surface over warmer deep water) is what
+    permits winter sea ice on a multi-year spinup — a uniform-salinity
+    warm start instead convects the full polar column and delays ice
+    onset by decades."""
+    lat = np.asarray(grid.yt)[:, None]
+    z = np.asarray(grid.zt)[:, None, None]      # cm
+    jmt, imt = grid.jmt, grid.imt
+    LAT = np.broadcast_to(lat, (jmt, imt))
+
+    # surface temperature: warm tropics to freezing poles
+    sst = -1.5 + 29.0 * np.exp(-(LAT / 38.0) ** 2)
+    # thermocline decay to a 1C abyss; thinner thermocline at high lat
+    scale = (350.0 + 650.0 * np.exp(-(LAT / 30.0) ** 2)) * 100.0  # cm
+    deep = 1.0
+    temp = deep + (sst - deep)[None] * np.exp(-z / scale[None])
+
+    # salinity [psu]: subtropical evaporation maxima, ITCZ minimum,
+    # fresh polar caps (Arctic fresher than Southern Ocean)
+    sss = (34.7 + 1.3 * (np.exp(-((LAT - 22.0) / 14.0) ** 2)
+                         + np.exp(-((LAT + 18.0) / 14.0) ** 2))
+           - 0.6 * np.exp(-(LAT / 6.0) ** 2)
+           - 2.5 / (1.0 + np.exp(-(LAT - 68.0) / 4.0))
+           - 1.0 / (1.0 + np.exp(-(-LAT - 62.0) / 4.0)))
+    deep_s = 34.7
+    hal_scale = 60000.0    # 600 m halocline
+    salt = deep_s + (sss - deep_s)[None] * np.exp(-z / hal_scale)
+
+    tmask = (np.arange(grid.km)[:, None, None]
+             < kmt[None]).astype(float)
+    temp = temp * tmask
+    salt_model = (salt - 35.0) / 1000.0 * tmask
+    return temp, salt_model
+
+
 def earth_elevation(grid: Grid) -> np.ndarray:
     """(jmt, imt) land surface elevation [cm] for the EMBM lapse-rate
     terms (setembm.F elevation data analog): major orography only."""

@@ -64,19 +64,30 @@ class CoupledModel:
             raise ValueError("O_convect_brine requires the 0-layer ice "
                              "model (cpts carries its own categories)")
         self.cfg = cfg
+        self._topo_kind = topo_kind
         self.ocean = make_ocean(cfg, kmt=kmt, topo_kind=topo_kind)
         grid = self.ocean.params.grid
         topo = self.ocean.params.topo
         self.grid = grid
         self.topo = topo
-        elev = None
+        embm_kw = {}
+        stress_clim = None
         if topo_kind == "earth":
-            # coarse real orography for the EMBM lapse-rate terms
-            # (setembm.F elevation data analog, core/earth.py)
-            from ..core.earth import earth_elevation
-            elev = earth_elevation(grid)
+            # the reference reads elevation, winds, wind stress,
+            # coalbedo and diffusivity from data files not shipped;
+            # the earth config authors them in-repo (core/earth.py)
+            from ..core.earth import (earth_atm_coalbedo, earth_atm_diff,
+                                      earth_elevation, earth_surface_wind,
+                                      earth_wind_stress)
+            diff_t, diff_q = earth_atm_diff(grid)
+            winds_e, wspd_e = earth_surface_wind(grid)
+            embm_kw = dict(elev=earth_elevation(grid), winds=winds_e,
+                           wspd=wspd_e, diff_t=diff_t, diff_q=diff_q,
+                           atm_coalbedo=earth_atm_coalbedo(grid),
+                           dry_soil_albedo=0.15)
+            stress_clim = earth_wind_stress(grid)
         self.embm = EmbmModel(grid, topo, cfg.embm, dtype=cfg.np_dtype,
-                              elev=elev)
+                              **embm_kw)
 
         # coupling cadence (chkcpl semantics)
         seg_s = cfg.time.segtim_days * 86400.0
@@ -129,11 +140,17 @@ class CoupledModel:
                      * grid.dxt[None, :])
         self.rivers = RiverModel(topo.kmt, area_full, grid.cyclic)
 
-        # wind stress on the ocean/ice from the prescribed EMBM winds
-        w = self.embm.winds
-        wmag = jnp.sqrt(w[0] ** 2 + w[1] ** 2) + EPSLN
-        self.taux_w = C.RHOATM * C.CDATM * wmag * w[0]
-        self.tauy_w = C.RHOATM * C.CDATM * wmag * w[1]
+        # wind stress on the ocean/ice: the earth config uses the
+        # authored climatology (A_windstr analog); otherwise derive a
+        # bulk stress from the prescribed EMBM winds
+        if stress_clim is not None:
+            self.taux_w = jnp.asarray(stress_clim[0], cfg.np_dtype)
+            self.tauy_w = jnp.asarray(stress_clim[1], cfg.np_dtype)
+        else:
+            w = self.embm.winds
+            wmag = jnp.sqrt(w[0] ** 2 + w[1] ** 2) + EPSLN
+            self.taux_w = C.RHOATM * C.CDATM * wmag * w[0]
+            self.tauy_w = C.RHOATM * C.CDATM * wmag * w[1]
 
         # multi-category ice (cpts.F) static tables
         if cfg.ice.cpts > 0:
@@ -183,6 +200,16 @@ class CoupledModel:
         t0 = np.broadcast_to(
             vals[:, None, None, None],
             (self.ocean.nt, g.km, g.jmt, g.imt)).copy()
+        if self._topo_kind == "earth":
+            # Levitus-like zonal-mean hydrography (setmom.F ic read
+            # analog): the polar halocline lets winter sea ice form on
+            # a multi-year spinup (core/earth.py:earth_initial_ts)
+            from ..core.earth import earth_initial_ts
+            temp, salt = earth_initial_ts(g, np.asarray(self.topo.kmt))
+            t0[0] = temp
+            t0[1] = salt
+            t0 *= np.asarray(self.topo.tmask)
+            return t0
         lat = np.broadcast_to(g.yt[:, None], (g.jmt, g.imt))
         sst = 25.0 * np.cos(np.deg2rad(lat)) ** 2
         prof = np.exp(-np.asarray(g.zt) / 1000.0e2)
@@ -321,9 +348,9 @@ class CoupledModel:
         # ---- humidity transport + precipitation ----------------------
         fa_q = dts / (C.RHOATM * C.SHQ)
         forc_q = (fa_q * evap).at[0, :].set(0.0).at[-1, :].set(0.0)
-        coefs = embm._coef(embm.diff_n, dts, winds=winds_a)
+        coefs_q = embm._coef(embm.diff_q, dts, winds=winds_a)
         rhs_q = embm._bc(at_old[1] + forc_q)
-        shum = embm.solve_tracer(rhs_q, atm.at[1], coefs,
+        shum = embm.solve_tracer(rhs_q, atm.at[1], coefs_q,
                                  cfg.solver_tol, cfg.solver_maxiter)
         flux_shum_land = evap * embm.lmsk
         shum, precip, psno, rh, soilm_new, runoff = embm.precipitate(
@@ -356,7 +383,8 @@ class CoupledModel:
         forc_t = (forc_t + precip * fb_l + fc * psno)
         forc_t = forc_t.at[0, :].set(0.0).at[-1, :].set(0.0)
         rhs_t = embm._bc(at_old[0] + forc_t)
-        sat = embm.solve_tracer(rhs_t, atm.at[0], coefs,
+        coefs_t = embm._coef(embm.diff_t, dts, winds=winds_a)
+        sat = embm.solve_tracer(rhs_t, atm.at[0], coefs_t,
                                 cfg.solver_tol, cfg.solver_maxiter)
 
         new_atm = AtmState(

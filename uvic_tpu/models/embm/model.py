@@ -68,7 +68,8 @@ class AtmDiag:
 class EmbmModel:
     def __init__(self, grid, topo, cfg, dtype=np.float64,
                  elev=None, winds=None, diff_n=None, diff_e=None,
-                 atm_coalbedo=None):
+                 atm_coalbedo=None, wspd=None, diff_t=None, diff_q=None,
+                 dry_soil_albedo=0.0):
         self.cfg = cfg
         self.grid = grid
         self.topo = topo
@@ -100,11 +101,14 @@ class EmbmModel:
         self.tmsk = jn((topo.kmt > 0).astype(np.float64))
         self.lmsk = 1.0 - self.tmsk
 
-        # diffusivities (setembm.F:265-266; data-file override absent)
-        self.diff_n = jn(np.full((jmt, imt), 5.0e9) if diff_n is None
-                         else diff_n)
-        self.diff_e = jn(np.full((jmt, imt), 5.0e9) if diff_e is None
-                         else diff_e)
+        # diffusivities (setembm.F:265-266 reads per-tracer A_difft*/
+        # A_diffq* fields with a flat 5e9 fallback; heat and moisture
+        # carry separate fields like the reference's dn(:,:,n))
+        base = np.full((jmt, imt), 5.0e9)
+        self.diff_n = jn(base if diff_n is None else diff_n)
+        self.diff_e = jn(base if diff_e is None else diff_e)
+        self.diff_t = self.diff_n if diff_t is None else jn(diff_t)
+        self.diff_q = self.diff_n if diff_q is None else jn(diff_q)
 
         # elevation [cm] (reads data in reference; default: sea level)
         self.elev = jn(np.zeros((jmt, imt)) if elev is None else elev)
@@ -118,7 +122,16 @@ class EmbmModel:
             winds = np.stack([np.broadcast_to(u[:, None], (jmt, imt)),
                               np.zeros((jmt, imt))])
         self.winds = jn(winds)
-        self.wspd = jnp.sqrt(self.winds[0] ** 2 + self.winds[1] ** 2) + 1.0
+        if wspd is None:
+            self.wspd = jnp.sqrt(self.winds[0] ** 2
+                                 + self.winds[1] ** 2) + 1.0
+        else:
+            self.wspd = jn(wspd)
+        # dry-soil brightening: fractional reduction of the land
+        # surface shortwave absorption at zero soil moisture (deserts
+        # are bright; stand-in for the reference's surface-type albedo
+        # data, applied in `fluxes`)
+        self.dry_soil_albedo = float(dry_soil_albedo)
 
         # annual-mean insolation (seasonal cycle hooks in later)
         lat2d = np.deg2rad(np.broadcast_to(grid.yt[:, None], (jmt, imt)))
@@ -201,6 +214,12 @@ class EmbmModel:
         sca = self.sca if sulph is None \
             else jnp.maximum(0.0, self.sca - sulph)
         dnswr = solins * self.aca * C.PASS * sca
+        if self.dry_soil_albedo > 0.0:
+            # dry land is brighter (desert albedo); scales the land
+            # surface absorption by soil-moisture deficit
+            dry = 1.0 - jnp.clip(state.soilm / C.SOILMAX, 0.0, 1.0)
+            dnswr = dnswr * (1.0 - self.dry_soil_albedo * dry
+                             * self.lmsk)
 
         b = C.TW_B
         # Thompson-Warren OLR is a cubic FIT valid for moderate teff;
@@ -394,9 +413,9 @@ class EmbmModel:
         fa_q = dts / (C.RHOATM * C.SHQ)
         forc_q = fa_q * evap
         forc_q = forc_q.at[0, :].set(0.0).at[-1, :].set(0.0)
-        coefs = self._coef(self.diff_n, dts)  # same diff both directions
+        coefs_q = self._coef(self.diff_q, dts)
         rhs_q = self._bc(at_old[1] + forc_q)
-        shum_new = self.solve_tracer(rhs_q, state.at[1], coefs,
+        shum_new = self.solve_tracer(rhs_q, state.at[1], coefs_q,
                                      cfg.solver_tol, cfg.solver_maxiter)
 
         # ---- precipitation -------------------------------------------
@@ -415,7 +434,8 @@ class EmbmModel:
         forc_t = forc_t + precip * fb_l + fc * psno
         forc_t = forc_t.at[0, :].set(0.0).at[-1, :].set(0.0)
         rhs_t = self._bc(at_old[0] + forc_t)
-        sat_new = self.solve_tracer(rhs_t, state.at[0], coefs,
+        coefs_t = self._coef(self.diff_t, dts)
+        sat_new = self.solve_tracer(rhs_t, state.at[0], coefs_t,
                                     cfg.solver_tol, cfg.solver_maxiter)
 
         at_new = jnp.stack([sat_new, shum_new])

@@ -45,6 +45,12 @@ class IsopycFields:
     vetiso: Any
     vntiso: Any
     vbtiso: Any
+    # O_full_tensor extras (None under the small-angle approximation):
+    full_tensor: bool = False
+    drodye: Any = None    # [ip][jq] cross-gradients at east faces
+    drodxn: Any = None    # [ip][jq] cross-gradients at north faces
+    ai0_e: Any = None     # untapered east-face Ai0 (incl. addisop)
+    ai0_n: Any = None
 
 
 def _taper(s_abs, sc, cfg, dtype):
@@ -53,6 +59,40 @@ def _taper(s_abs, sc, cfg, dtype):
         return 0.5 * (1.0 - jnp.tanh((s_abs - cfg.del_dm) / cfg.s_dm))
     return jnp.where(s_abs > sc, (sc / (s_abs + EPSLN)) ** 2,
                      jnp.ones_like(s_abs))
+
+
+def full_tensor_delta(g, cfg):
+    """Gerdes re-scaling band for O_full_tensor (isopyc.F:150-175):
+    delta_iso = min over cells of dx*dz/(4*ahisop*dtts) (and dy*dz);
+    within slopes (s_minus, s_plus) the coefficient is re-scaled by
+    delta_iso*(s + 1/s).  Host-side floats (static in the trace)."""
+    import numpy as np
+    ft = 1.0 / (4.0 * cfg.ahisop * cfg.dtts)
+    dxt = np.asarray(g.dxt)[None, None, 1:-1]
+    cst = np.asarray(g.cst)[None, 1:-1, None]
+    dyt = np.asarray(g.dyt)[None, 1:-1, None]
+    dzt = np.asarray(g.dzt)[:, None, None]
+    delta1 = (dxt * cst * dzt * ft).min()
+    delta2 = (dyt * dzt * ft).min()
+    delta_iso = float(min(delta1, delta2))
+    if delta_iso < 0.5:
+        s_minus = (1.0 - np.sqrt(1.0 - 4.0 * delta_iso ** 2)) \
+            / (2.0 * delta_iso)
+        s_plus = 1.0 / s_minus
+    else:
+        s_minus = s_plus = 0.0
+    return delta_iso, float(s_minus), float(s_plus)
+
+
+def _full_taper(s_abs, delta_iso, s_minus, s_plus):
+    """Gerdes re-scaling: Ai -> Ai*delta*(s + 1/s) inside the unstable
+    band, Ai unchanged outside (the full tensor needs no small-slope
+    clip; isopyc.F:585-592)."""
+    if not (delta_iso < 0.5):
+        return jnp.ones_like(s_abs)
+    resc = delta_iso * (s_abs + 1.0 / jnp.maximum(s_abs, EPSLN))
+    use = (s_abs > s_minus) & (s_abs < s_plus)
+    return jnp.where(use, resc, jnp.ones_like(s_abs))
 
 
 def compute_isopyc(t_tm1, tmask, kmt, eos_c, eos_to, eos_so, g, cfg,
@@ -108,48 +148,123 @@ def compute_isopyc(t_tm1, tmask, kmt, eos_c, eos_to, eos_so, g, cfg,
         # coefficient only (isopyc.F:981 Ai0 = ahisop + addisop)
         ai0_e = ai0_e + addisop[None, :, None]
 
+    full = getattr(cfg, "full_tensor", False)
+    if full:
+        delta_iso, s_minus, s_plus = full_tensor_delta(g, cfg)
+
+        def taper(s_abs):
+            return _full_taper(s_abs, delta_iso, s_minus, s_plus)
+    else:
+        def taper(s_abs):
+            return _taper(s_abs, sc_k, cfg, dtype)
+
+    csu_dyu_f = [S(g.csu[None, :, None]) * S(g.dyu[None, :, None]),
+                 g.csu[None, :, None] * g.dyu[None, :, None]]  # [jq]
+    dxu_f = [W(g.dxu[None, None, :]), g.dxu[None, None, :]]    # [ip]
+
     # ---- east face: Ai_ez, K11 (ai_east, isopyc.F:544-640) -----------
     mask_e = tmask * E(tmask)
     ai_ez = []
+    drodye_all = None
     sumz_e = jnp.zeros_like(T)
+    sumy_e = jnp.zeros_like(T)
+    if full:
+        drodye_all = [[None, None], [None, None]]
     for ip in (0, 1):
         a_i = alphai if ip == 0 else E(alphai)
         b_i = betai if ip == 0 else E(betai)
         drodxe = a_i * ddxt[0] + b_i * ddxt[1]
+        if full:
+            # drodye(ip, jq) = rho gradients across the north faces
+            # adjacent to the east face (isopyc.h O_full_tensor)
+            ddyt_ip = ddyt if ip == 0 else E(ddyt)
+            dro_ye = []
+            for jq in (0, 1):
+                dd = S(ddyt_ip) if jq == 0 else ddyt_ip
+                dro_ye.append(a_i * dd[0] + b_i * dd[1])
+                drodye_all[ip][jq] = dro_ye[jq]
+            drodze_kr = [
+                a_i * ddz_face(0, kr, None if ip == 0 else E)
+                + b_i * ddz_face(1, kr, None if ip == 0 else E)
+                for kr in (0, 1)]
+            ze2 = 0.5 * (drodze_kr[0] ** 2 + drodze_kr[1] ** 2)
+            ye2 = 0.5 * (dro_ye[0] ** 2 + dro_ye[1] ** 2)
         row = []
         for kr in (0, 1):
             shift = None if ip == 0 else E
             drodze = (a_i * ddz_face(0, kr, shift)
                       + b_i * ddz_face(1, kr, shift))
             sxe = jnp.abs(drodxe / (drodze + EPSLN))
-            ai = ai0_e * mask_e * _taper(sxe, sc_k, cfg, dtype)
+            ai = ai0_e * mask_e * taper(sxe)
             dzw_f = g.dzw[kr:km + kr].reshape(km, 1, 1)
-            sumz_e = sumz_e + dzw_f * ai
+            if full:
+                sumz_e = sumz_e + dzw_f * ai * drodze ** 2 / (
+                    drodxe ** 2 + ye2 + drodze ** 2 + EPSLN)
+            else:
+                sumz_e = sumz_e + dzw_f * ai
             row.append(ai)
         ai_ez.append(row)
+        if full:
+            for jq in (0, 1):
+                sumy_e = sumy_e + csu_dyu_f[jq] * ai0_e * mask_e \
+                    * dro_ye[jq] ** 2 / (drodxe ** 2 + dro_ye[jq] ** 2
+                                         + EPSLN + ze2)
     dzt4r = (0.25 * g.dztr).reshape(km, 1, 1)
-    K11 = setbcx(dzt4r * sumz_e, cyclic)
+    K11 = dzt4r * sumz_e
+    if full:
+        cstdytr = (g.cstr * g.dytr)[None, :, None]
+        K11 = K11 + 0.25 * cstdytr * sumy_e
+    K11 = setbcx(K11, cyclic)
 
     # ---- north face: Ai_nz, K22 (ai_north, isopyc.F:644-740) ---------
     mask_n = tmask * N(tmask)
     ai_nz = []
+    drodxn_all = None
     sumz_n = jnp.zeros_like(T)
+    sumx_n = jnp.zeros_like(T)
+    if full:
+        drodxn_all = [[None, None], [None, None]]
     for jq in (0, 1):
         a_j = alphai if jq == 0 else N(alphai)
         b_j = betai if jq == 0 else N(betai)
         drodyn = a_j * ddyt[0] + b_j * ddyt[1]
+        if full:
+            ddxt_jq = ddxt if jq == 0 else N(ddxt)
+            dro_xn = []
+            for ip in (0, 1):
+                dd = W(ddxt_jq) if ip == 0 else ddxt_jq
+                dro_xn.append(a_j * dd[0] + b_j * dd[1])
+                drodxn_all[ip][jq] = dro_xn[ip]
+            drodzn_kr = [
+                a_j * ddz_face(0, kr, None if jq == 0 else N)
+                + b_j * ddz_face(1, kr, None if jq == 0 else N)
+                for kr in (0, 1)]
+            zn2 = 0.5 * (drodzn_kr[0] ** 2 + drodzn_kr[1] ** 2)
+            xn2 = 0.5 * (dro_xn[0] ** 2 + dro_xn[1] ** 2)
         row = []
         for kr in (0, 1):
             shift = None if jq == 0 else N
             drodzn = (a_j * ddz_face(0, kr, shift)
                       + b_j * ddz_face(1, kr, shift))
             syn = jnp.abs(drodyn / (drodzn + EPSLN))
-            ai = ai0_n * mask_n * _taper(syn, sc_k, cfg, dtype)
+            ai = ai0_n * mask_n * taper(syn)
             dzw_f = g.dzw[kr:km + kr].reshape(km, 1, 1)
-            sumz_n = sumz_n + dzw_f * ai
+            if full:
+                sumz_n = sumz_n + dzw_f * ai * drodzn ** 2 / (
+                    xn2 + drodyn ** 2 + drodzn ** 2 + EPSLN)
+            else:
+                sumz_n = sumz_n + dzw_f * ai
             row.append(ai)
         ai_nz.append(row)
-    K22 = setbcx(dzt4r * sumz_n, cyclic)
+        if full:
+            for ip in (0, 1):
+                sumx_n = sumx_n + dxu_f[ip] * ai0_n * mask_n \
+                    * dro_xn[ip] ** 2 / (dro_xn[ip] ** 2 + drodyn ** 2
+                                         + EPSLN + zn2)
+    K22 = dzt4r * sumz_n
+    if full:
+        K22 = K22 + (0.25 * g.dxtr)[None, None, :] * sumx_n
+    K22 = setbcx(K22, cyclic)
 
     # ---- bottom face: Ai_bx, Ai_by, K33 (ai_bottom, isopyc.F:743-880)
     # drodzb(kr) = alphai(k+kr)*ddzt(k) + betai(k+kr)*ddzt(k) at face k
@@ -166,26 +281,46 @@ def compute_isopyc(t_tm1, tmask, kmt, eos_c, eos_to, eos_so, g, cfg,
         drodzb = a_k * ddzt[0] + b_k * ddzt[1]
         ddxt_k = ddxt if kr == 0 else DN(ddxt)
         ddyt_k = ddyt if kr == 0 else DN(ddyt)
+        if full:
+            # face-mean squares for the projection denominators
+            dro_xb = []
+            for ip in (0, 1):
+                gx = W(ddxt_k) if ip == 0 else ddxt_k
+                dro_xb.append(a_k * gx[0] + b_k * gx[1])
+            dro_yb = []
+            for jq in (0, 1):
+                gy = S(ddyt_k) if jq == 0 else ddyt_k
+                dro_yb.append(a_k * gy[0] + b_k * gy[1])
+            xb2 = 0.5 * (dro_xb[0] ** 2 + dro_xb[1] ** 2)
+            yb2 = 0.5 * (dro_yb[0] ** 2 + dro_yb[1] ** 2)
         for ip in (0, 1):
             # drodxb uses ddxt at (i-1+ip, k+kr)
             gx_T = W(ddxt_k[0]) if ip == 0 else ddxt_k[0]
             gx_S = W(ddxt_k[1]) if ip == 0 else ddxt_k[1]
             drodxb = a_k * gx_T + b_k * gx_S
             sxb = jnp.abs(drodxb / (drodzb + EPSLN))
-            ai = ai0_b * mask_b * _taper(sxb, sc_k, cfg, dtype)
+            ai = ai0_b * mask_b * taper(sxb)
             ai_bx[ip][kr] = ai
             w = W(dxu_w) if ip == 0 else dxu_w
-            sumx_b = sumx_b + w * ai * sxb ** 2
+            if full:
+                sumx_b = sumx_b + w * ai * drodxb ** 2 / (
+                    drodxb ** 2 + yb2 + drodzb ** 2 + EPSLN)
+            else:
+                sumx_b = sumx_b + w * ai * sxb ** 2
         for jq in (0, 1):
             gy_T = S(ddyt_k[0]) if jq == 0 else ddyt_k[0]
             gy_S = S(ddyt_k[1]) if jq == 0 else ddyt_k[1]
             drodyb = a_k * gy_T + b_k * gy_S
             syb = jnp.abs(drodyb / (drodzb + EPSLN))
-            ai = ai0_b * mask_b * _taper(syb, sc_k, cfg, dtype)
+            ai = ai0_b * mask_b * taper(syb)
             ai_by[jq][kr] = ai
             facty = (S(csu_j) if jq == 0 else csu_j) * \
                 (S(g.dyu[None, :, None]) if jq == 0 else g.dyu[None, :, None])
-            sumy_b = sumy_b + facty * ai * syb ** 2
+            if full:
+                sumy_b = sumy_b + facty * ai * drodyb ** 2 / (
+                    xb2 + drodyb ** 2 + drodzb ** 2 + EPSLN)
+            else:
+                sumy_b = sumy_b + facty * ai * syb ** 2
     dxt4r = (0.25 / g.dxt)[None, None, :]
     dyt4r = (0.25 / g.dyt)[None, :, None]
     K33 = dxt4r * sumx_b + dyt4r * cstr * sumy_b
@@ -200,7 +335,10 @@ def compute_isopyc(t_tm1, tmask, kmt, eos_c, eos_to, eos_so, g, cfg,
         K11=K11, K22=K22, K33=K33,
         ai_ez=ai_ez, ai_nz=ai_nz, ai_bx=ai_bx, ai_by=ai_by,
         alphai=alphai, betai=betai, ddxt=ddxt, ddyt=ddyt, ddzt=ddzt,
-        vetiso=vetiso, vntiso=vntiso, vbtiso=vbtiso)
+        vetiso=vetiso, vntiso=vntiso, vbtiso=vbtiso,
+        full_tensor=full, drodye=drodye_all, drodxn=drodxn_all,
+        ai0_e=(ai0_e * mask_e if full else None),
+        ai0_n=(ai0_n * mask_n if full else None))
 
 
 def _gm_velocities(alphai, betai, ddxt, ddyt, ddzt, tmask, kmt, g, cfg,
@@ -299,38 +437,95 @@ def isoflux(iso: IsopycFields, t, tmask, g, cyclic=True):
         d = f - DN(f, fill=0.0)
         return d.at[:, -1].set(0.0)        # both clamp to km at bottom
 
+    full = iso.full_tensor
+    csu_1 = g.csu[None, :, None]
+
     # east face
     sumz = jnp.zeros_like(t)
+    sumy_x = jnp.zeros_like(t)
     for ip in (0, 1):
         a_i = alphai if ip == 0 else E(alphai)
         b_i = betai if ip == 0 else E(betai)
         drodxe = a_i * iso.ddxt[0] + b_i * iso.ddxt[1]
         t_ip = t if ip == 0 else E(t)
+        if full:
+            drodze_kr = [
+                a_i * ddz_face(0, kr, None if ip == 0 else E)
+                + b_i * ddz_face(1, kr, None if ip == 0 else E)
+                for kr in (0, 1)]
+            ze2 = 0.5 * (drodze_kr[0] ** 2 + drodze_kr[1] ** 2)
+            ye2 = 0.5 * (iso.drodye[ip][0] ** 2 + iso.drodye[ip][1] ** 2)
         for kr in (0, 1):
             shift = None if ip == 0 else E
             drodze = a_i * ddz_face(0, kr, shift) + b_i * ddz_face(1, kr,
                                                                    shift)
-            sumz = sumz - iso.ai_ez[ip][kr][None] * vdiff(t_ip, kr) \
-                * drodxe[None] / (drodze[None] + EPSLN)
+            if full:
+                # K13 with the full-gradient projection (isopyc.F:933)
+                sumz = sumz - iso.ai_ez[ip][kr][None] * vdiff(t_ip, kr) \
+                    * (drodxe * drodze)[None] \
+                    / (drodxe ** 2 + ye2 + drodze ** 2 + EPSLN)[None]
+            else:
+                sumz = sumz - iso.ai_ez[ip][kr][None] * vdiff(t_ip, kr) \
+                    * drodxe[None] / (drodze[None] + EPSLN)
+        if full:
+            # K12 cross-term (isopyc.F:944-953); the dyu in the
+            # meridional t-difference cancels against the face weight
+            for jq in (0, 1):
+                facty = S(csu_1) if jq == 0 else csu_1
+                tdy = (t_ip - S(t_ip)) if jq == 0 else (N(t_ip) - t_ip)
+                sumy_x = sumy_x - facty[None] * iso.ai0_e[None] * tdy \
+                    * (iso.drodye[ip][jq] * drodxe)[None] \
+                    / (drodxe ** 2 + iso.drodye[ip][jq] ** 2
+                       + EPSLN + ze2)[None]
     fe_iso = dzt4r * sumz \
         + iso.K11[None] * g.cstdxur[None, None] * (E(t) - t)
+    if full:
+        cstdytr = (g.cstr * g.dytr)[None, None, :, None]
+        fe_iso = fe_iso + 0.25 * cstdytr * sumy_x
 
     # north face
     sumz = jnp.zeros_like(t)
+    sumx_y = jnp.zeros_like(t)
     for jq in (0, 1):
         a_j = alphai if jq == 0 else N(alphai)
         b_j = betai if jq == 0 else N(betai)
         drodyn = a_j * iso.ddyt[0] + b_j * iso.ddyt[1]
         t_jq = t if jq == 0 else N(t)
+        if full:
+            drodzn_kr = [
+                a_j * ddz_face(0, kr, None if jq == 0 else N)
+                + b_j * ddz_face(1, kr, None if jq == 0 else N)
+                for kr in (0, 1)]
+            zn2 = 0.5 * (drodzn_kr[0] ** 2 + drodzn_kr[1] ** 2)
+            xn2 = 0.5 * (iso.drodxn[0][jq] ** 2 + iso.drodxn[1][jq] ** 2)
         for kr in (0, 1):
             shift = None if jq == 0 else N
             drodzn = a_j * ddz_face(0, kr, shift) + b_j * ddz_face(1, kr,
                                                                    shift)
-            sumz = sumz - iso.ai_nz[jq][kr][None] * vdiff(t_jq, kr) \
-                * drodyn[None] / (drodzn[None] + EPSLN)
+            if full:
+                sumz = sumz - iso.ai_nz[jq][kr][None] * vdiff(t_jq, kr) \
+                    * (drodyn * drodzn)[None] \
+                    / (xn2 + drodyn ** 2 + drodzn ** 2 + EPSLN)[None]
+            else:
+                sumz = sumz - iso.ai_nz[jq][kr][None] * vdiff(t_jq, kr) \
+                    * drodyn[None] / (drodzn[None] + EPSLN)
+        if full:
+            # K21 cross-term (isopyc.F:995-1005)
+            cstr_a = jnp.asarray(g.cstr)
+            cstr_jq = (cstr_a if jq == 0 else jnp.concatenate(
+                [cstr_a[1:], cstr_a[-1:]]))[None, :, None]
+            for ip in (0, 1):
+                tdx = (t_jq - W(t_jq)) if ip == 0 else (E(t_jq) - t_jq)
+                sumx_y = sumx_y - iso.ai0_n[None] * tdx * cstr_jq[None] \
+                    * (iso.drodxn[ip][jq] * drodyn)[None] \
+                    / (iso.drodxn[ip][jq] ** 2 + drodyn ** 2
+                       + EPSLN + zn2)[None]
     csu_j = g.csu[None, None, :, None]
     fn_iso = csu_j * dzt4r * sumz \
         + iso.K22[None] * (g.csu * g.dyur)[None, None, :, None] * (N(t) - t)
+    if full:
+        fn_iso = fn_iso + 0.25 * csu_j * g.dxtr[None, None, None, :] \
+            * sumx_y
 
     # bottom face: explicit K31/K32 flux (diff_fbiso)
     cstr = g.cstr[None, None, :, None]
@@ -345,20 +540,43 @@ def isoflux(iso: IsopycFields, t, tmask, g, cyclic=True):
         ddxt_k = iso.ddxt if kr == 0 else DN(iso.ddxt)
         ddyt_k = iso.ddyt if kr == 0 else DN(iso.ddyt)
         t_k = t if kr == 0 else DN(t)
+        if full:
+            gx_kr = [a_k * (W(ddxt_k[0]) if ipp == 0 else ddxt_k[0])
+                     + b_k * (W(ddxt_k[1]) if ipp == 0 else ddxt_k[1])
+                     for ipp in (0, 1)]
+            gy_kr = [a_k * (S(ddyt_k[0]) if jqq == 0 else ddyt_k[0])
+                     + b_k * (S(ddyt_k[1]) if jqq == 0 else ddyt_k[1])
+                     for jqq in (0, 1)]
+            xb2 = (0.5 * (gx_kr[0] ** 2 + gx_kr[1] ** 2))[None]
+            yb2 = (0.5 * (gy_kr[0] ** 2 + gy_kr[1] ** 2))[None]
         for ip in (0, 1):
             gx = a_k * (W(ddxt_k[0]) if ip == 0 else ddxt_k[0]) \
                 + b_k * (W(ddxt_k[1]) if ip == 0 else ddxt_k[1])
             tdiff = (t_k - W(t_k)) if ip == 0 else (E(t_k) - t_k)
-            sumx = sumx - iso.ai_bx[ip][kr][None] * cstr * tdiff \
-                * gx[None] / (drodzb + EPSLN)
+            if full:
+                # K31 with full projection (isopyc.F:1034-1038)
+                sumx = sumx - iso.ai_bx[ip][kr][None] * cstr * tdiff \
+                    * (gx[None] * drodzb) / (gx[None] ** 2 + yb2
+                                             + drodzb ** 2 + EPSLN)
+            else:
+                sumx = sumx - iso.ai_bx[ip][kr][None] * cstr * tdiff \
+                    * gx[None] / (drodzb + EPSLN)
         for jq in (0, 1):
             gy = a_k * (S(ddyt_k[0]) if jq == 0 else ddyt_k[0]) \
                 + b_k * (S(ddyt_k[1]) if jq == 0 else ddyt_k[1])
             tdiff = (t_k - S(t_k)) if jq == 0 else (N(t_k) - t_k)
             fy = S(g.csu[None, None, :, None]) if jq == 0 \
                 else g.csu[None, None, :, None]
-            sumy = sumy - iso.ai_by[jq][kr][None] * fy * tdiff \
-                * gy[None] / (drodzb + EPSLN)
+            if full:
+                # K32 (isopyc.F:1050-1055; the reference averages
+                # drodxb over ip here but its code repeats ip=0 — we
+                # implement the intended mean of both ip members)
+                sumy = sumy - iso.ai_by[jq][kr][None] * fy * tdiff \
+                    * (gy[None] * drodzb) / (xb2 + gy[None] ** 2
+                                             + drodzb ** 2 + EPSLN)
+            else:
+                sumy = sumy - iso.ai_by[jq][kr][None] * fy * tdiff \
+                    * gy[None] / (drodzb + EPSLN)
     fb_iso = dxt4r * sumx + dyt4r * cstr * sumy
     fb_iso = fb_iso.at[:, -1].set(0.0)
     return fe_iso, fn_iso, fb_iso

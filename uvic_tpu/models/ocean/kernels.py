@@ -12,6 +12,7 @@ mode); the caller reconstructs them from the streamfunction.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ...ops.advection import centered_flux, fct_flux, upstream_flux
@@ -333,7 +334,8 @@ def clinic_step(u_tau, u_tm1, rho, veu, vnu, vbu, smf, bmf,
                 - grad_p[n] + coriolis) * umask
 
         # barotropic forcing: depth average of du/dt (clinic.F:364-404)
-        zun = jnp.einsum("kji,k->ji", tend, g.dzt) * g.hr
+        zun = jnp.einsum("kji,k->ji", tend, g.dzt,
+                         precision=jax.lax.Precision.HIGHEST) * g.hr
         zu.append(zun)
 
         un_new = un_tm1 + c2dtuv * tend
@@ -343,6 +345,7 @@ def clinic_step(u_tau, u_tm1, rho, veu, vnu, vbu, smf, bmf,
     zu = jnp.stack(zu)
 
     # remove the (incorrect) vertical mean to leave pure internal modes
-    baru = jnp.einsum("nkji,k->nji", u_new, g.dzt) * g.hr[None]
+    baru = jnp.einsum("nkji,k->nji", u_new, g.dzt,
+                      precision=jax.lax.Precision.HIGHEST) * g.hr[None]
     u_int = (u_new - umask[None] * baru[:, None]) * umask[None]
     return setbcx(u_int, cyclic), setbcx(zu, cyclic)

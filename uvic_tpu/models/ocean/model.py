@@ -111,6 +111,10 @@ class OceanModel:
                      "ahc_north", "ahc_south", "am3", "am4", "dtxcel"):
             setattr(bag, name, jn(getattr(params, name)))
         bag.ah = cfg.ocean.ah
+        if getattr(cfg.ocean, "full_tensor", False):
+            # O_full_tensor adds the diapycnal kappa_h to the
+            # horizontal background diffusivity (hmixc.F:97-99)
+            bag.ah = bag.ah + cfg.ocean.kappa_h
         bag.am = cfg.ocean.am
         bag.hr = jn(topo.hr)
         bag.h = jn(topo.h)

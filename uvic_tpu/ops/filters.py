@@ -28,6 +28,7 @@ FIR passes capped at imt/4.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -64,7 +65,8 @@ class ZonalFilter:
         if self.rows.size == 0:
             return field
         sub = field[..., self.rows, :]
-        out = jnp.einsum("...ab,...b->...a", self.mats, sub)
+        out = jnp.einsum("...ab,...b->...a", self.mats, sub,
+                         precision=jax.lax.Precision.HIGHEST)
         return field.at[..., self.rows, :].set(out)
 
 
