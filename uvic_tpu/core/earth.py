@@ -369,8 +369,8 @@ def earth_atm_diff(grid: Grid):
     lat = grid.yt
     dt_ = 5.0e9 * (0.9 + 1.3 * (_gauss(lat, 47.0, 13.0)
                                 + _gauss(lat, -50.0, 13.0))
-                   - 0.45 * (_gauss(lat, 90.0, 12.0)
-                             + _gauss(lat, -90.0, 12.0)))
+                   - 0.2 * (_gauss(lat, 90.0, 10.0)
+                            + _gauss(lat, -90.0, 10.0)))
     dq = 5.0e9 * (0.9 + 0.7 * _gauss(lat, 0.0, 11.0))
     jmt, imt = grid.jmt, grid.imt
     return (np.broadcast_to(dt_[:, None], (jmt, imt)).copy(),

@@ -152,6 +152,29 @@ class CoupledModel:
             self.taux_w = C.RHOATM * C.CDATM * wmag * w[0]
             self.tauy_w = C.RHOATM * C.CDATM * wmag * w[1]
 
+        # ice-velocity high-latitude zonal filter (filuvice,
+        # ice.F:46,180-300: the reference Fourier/FIR-filters uice/vice
+        # when O_ice_fourfil/firfil) plus a per-cell advective-CFL
+        # speed cap: at the last Arctic row the cells are ~7 km wide
+        # and one dtatm=54000 s upstream sweep at ~1 m/s has CFL ~ 8 —
+        # unfiltered, unclamped ice velocity piles ice into the polar
+        # cells until the coupled system blows up (triaged r3:
+        # hice -> 3e11 cm at (j=100, i<10) before the ocean NaN'd)
+        self.filt_uvice = None
+        if cfg.ocean.fourfil and cfg.ice.enabled and cfg.ice.evp:
+            from ..ops.filters import build_hlat_filter
+            umask2 = (topo.kmu > 0).astype(np.float64)
+            self.filt_uvice = build_hlat_filter(
+                cfg.ocean.hlat_filter, umask2, np.asarray(grid.yu),
+                grid.imt, "asymmetric", grid.cyclic, cfg.np_dtype)
+        dx_u = (np.asarray(grid.csu)[:, None]
+                * np.asarray(grid.dxu)[None, :])
+        dy_u = np.broadcast_to(np.asarray(grid.dyu)[:, None], (jmt, imt))
+        self.uice_cap = jnp.asarray(0.4 * dx_u / cfg.embm.dtatm,
+                                    cfg.np_dtype)
+        self.vice_cap = jnp.asarray(0.4 * dy_u / cfg.embm.dtatm,
+                                    cfg.np_dtype)
+
         # multi-category ice (cpts.F) static tables
         if cfg.ice.cpts > 0:
             from ..models.ice import cpts as cpts_mod
@@ -273,6 +296,12 @@ class CoupledModel:
                     self.ocean.g, cfg.dtatm, self.cfg.ice.ndte,
                     embm.cyclic, sig_in=ice.sig)
                 ice = ice.replace(sig=sig_n)
+                # filuvice + advective-CFL cap (see __init__ note)
+                if self.filt_uvice is not None:
+                    uice = self.filt_uvice(uice)
+                    vice = self.filt_uvice(vice)
+                uice = jnp.clip(uice, -self.uice_cap, self.uice_cap)
+                vice = jnp.clip(vice, -self.vice_cap, self.vice_cap)
                 if use_cpts:
                     # advect the full thickness distribution, ridge under
                     # convergence, re-bin (adv_ridge_cpts, cpts.F:579-675)
