@@ -55,11 +55,10 @@ def main(max_segments=80):
         prev = state
         state = m.run_segment(state)
         m.relyr += seg_days / 365.0
-        fields = dict(
-            t=state.ocean.t[0], s=state.ocean.t[1], u=state.ocean.u,
-            psi=state.ocean.psi0, at=state.atm.at, hice=state.ice.hice,
-            aice=state.ice.aice, uice=getattr(state.ice, "uice", 0.0),
-        )
+        import jax
+        leaves = jax.tree_util.tree_leaves_with_path(state)
+        fields = {jax.tree_util.keystr(p): v for p, v in leaves
+                  if hasattr(v, "shape")}
         reports = {k: field_report(k, v) for k, v in fields.items()}
         nonfin = [r for r in reports.values() if "NONFINITE" in r]
         tmax = float(np.abs(np.asarray(state.ocean.t[0])).max())
@@ -79,13 +78,15 @@ def main(max_segments=80):
             print("FIRST NON-FINITE SEGMENT", s)
             for k, r in reports.items():
                 print("  ", r)
+            prev_leaves = jax.tree_util.tree_leaves_with_path(prev)
+            safe = lambda k: k.replace("[", "_").replace("]", "_") \
+                .replace("'", "").replace(".", "_")
             np.savez("/tmp/earth_blowup.npz",
-                     **{f"prev_{k}": np.asarray(v) for k, v in dict(
-                         t=prev.ocean.t, u=prev.ocean.u, psi=prev.ocean.psi0,
-                         at=prev.atm.at, hice=prev.ice.hice,
-                         aice=prev.ice.aice).items()},
-                     **{f"bad_{k}": np.asarray(v) for k, v in fields.items()
-                        if not np.isscalar(v)})
+                     **{f"prev_{safe(jax.tree_util.keystr(p))}":
+                        np.asarray(v) for p, v in prev_leaves
+                        if hasattr(v, "shape")},
+                     **{f"bad_{safe(k)}": np.asarray(v)
+                        for k, v in fields.items()})
             print("saved /tmp/earth_blowup.npz")
             return
     print("stable for", max_segments, "segments")

@@ -361,13 +361,18 @@ class EmbmModel:
         return cc, cn, cs, ce, cw
 
     def solve_tracer(self, rhs, guess, coefs, tol, maxiter):
-        """BiCGSTAB on the 5-point transport operator."""
+        """BiCGSTAB on the 5-point transport operator.
+
+        Uses the breakdown-guarded solver (ops/solvers.bicgstab_safe):
+        jax.scipy's bicgstab divides by rho/omega unguarded, and on
+        TPU a flushed-to-zero f32 dot product mid-iteration poisons
+        the whole fused coupled-segment program with NaNs."""
+        from ...ops.solvers import bicgstab_safe
         mv = partial(self._transport_matvec, coefs=coefs)
         M = lambda r: r / coefs[0]
         rhs = rhs.at[:, 0].set(0.0).at[:, -1].set(0.0)
         guess = guess.at[:, 0].set(0.0).at[:, -1].set(0.0)
-        x, _ = jax.scipy.sparse.linalg.bicgstab(
-            mv, rhs, x0=guess, tol=tol, maxiter=maxiter, M=M)
+        x = bicgstab_safe(mv, rhs, guess, M, tol, maxiter)
         return self._bc(x)
 
     # ------------------------------------------------------------------

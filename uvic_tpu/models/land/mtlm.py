@@ -278,14 +278,23 @@ def triffid_update(state: LandState, lmask, gamma, forw=0.0):
     lai_bal_n = leaf_n / sigl
     lai_n = phen * lai_bal_n
 
-    # ---- Lotka competition (lotka.F): explicit pair resolution -------
+    # ---- Lotka competition (lotka.F + COMPETE): dominance-ordered
+    # sequential implicit solve.  The dominance hierarchy is
+    # trees (taller of BT/NT first) > shrub > grasses (taller of
+    # C3/C4 first); each rank claims space, is clipped to
+    # [FRAC_MIN, remaining space], and reduces the space available to
+    # the next rank (COMPETE, lotka.F:275-400).  FORW=0 (the dynamic
+    # mode, mtlm.F:476) makes each solve explicit; FORW=1 is the
+    # equilibrium-spinup weighting.
     hc = awl / (aws * etasl) * lai_bal_n ** (bwl - 1.0)
     pow_ = 20.0
     c12 = 1.0 / (1.0 + jnp.exp(
         pow_ * (hc[0] - hc[1]) / jnp.maximum(hc[0] + hc[1], eps)))
     c34 = 1.0 / (1.0 + jnp.exp(
         pow_ * (hc[2] - hc[3]) / jnp.maximum(hc[2] + hc[3], eps)))
-    # competition matrix com[n, m]: shading of n by m
+    # competition matrix com[n, m]: shading of n by m (lotka.F:70-105:
+    # trees shade everything below and compete c12 between themselves;
+    # shrub is shaded by trees only; grasses by everything + c34)
     one = jnp.ones_like(c12)
     zero = jnp.zeros_like(c12)
     com = jnp.stack([
@@ -297,20 +306,102 @@ def triffid_update(state: LandState, lmask, gamma, forw=0.0):
     ])
     frac_vs = jnp.sum(frac[:NPFT], axis=0) + frac[NPFT]
     nosoil = 1.0 - frac_vs
-    space = 1.0 - nosoil[None] - FRAC_MIN * (NPFT - 1) \
-        - jnp.einsum("nm...,m...->n...", com, frac[:NPFT]) \
-        + com[jnp.arange(NPFT), jnp.arange(NPFT)] * frac[:NPFT]
-    space = space - frac[:NPFT]   # exclude self-term then re-add below
-    space = space + frac[:NPFT]
-    b = pc_s * space / jnp.maximum(c_veg, eps) - G_AREA[:, None, None]
-    fracn = jnp.maximum(frac[:NPFT], FRAC_SEED)
-    dfrac = b * fracn / jnp.maximum(gamma, DENOM_MIN)
-    frac_new = jnp.clip(frac[:NPFT] + dfrac, FRAC_MIN, 1.0)
-    # renormalize against available space
-    tot = jnp.sum(frac_new, axis=0)
-    scale = jnp.minimum(1.0, (1.0 - FRAC_MIN) / jnp.maximum(tot, eps))
-    frac_new = frac_new * scale
-    soil_frac = jnp.clip(1.0 - jnp.sum(frac_new, axis=0), FRAC_MIN, 1.0)
+    # dominance rank per PFT (1-based, lotka.F:135-138): trees {1,2}
+    # by height, shrub 3, grasses {4,5} by height
+    t_dom = hc[0] >= hc[1]          # BT dominant over NT
+    g_dom = hc[2] >= hc[3]          # C3 dominant over C4
+    rank = jnp.stack([
+        jnp.where(t_dom, 1.0, 2.0), jnp.where(t_dom, 2.0, 1.0),
+        jnp.where(g_dom, 4.0, 5.0), jnp.where(g_dom, 5.0, 4.0),
+        3.0 * one])
+    # COM(n,n)=1 and the reference's sum INCLUDES the self-term
+    # (lotka.F:139-146)
+    space_n = (1.0 - nosoil[None] - FRAC_MIN * (NPFT - rank)
+               - jnp.einsum("nm...,m...->n...", com, frac[:NPFT]))
+    pc_cv = pc_s / jnp.maximum(c_veg, eps)
+    b = pc_cv * space_n - G_AREA[:, None, None]
+    db = -com * pc_cv[:, None]      # DB_DFRAC(n,m) = -COM(n,m)*PC/CV
+
+    forw_w = forw
+    dfrac = [jnp.zeros_like(one) for _ in range(NPFT)]
+    frac_l = [frac[n] for n in range(NPFT)]
+    space = 1.0 - nosoil - FRAC_MIN * (NPFT - 1)
+
+    def coupled_rhs(n):
+        r = b[n]
+        for k in range(NPFT):
+            r = r + forw_w * db[n, k] * dfrac[k]
+        return r
+
+    def clip_and_claim(n, d, space):
+        f = frac_l[n] + d
+        lo = f < FRAC_MIN
+        hi = f > space
+        f = jnp.clip(f, FRAC_MIN, jnp.maximum(space, FRAC_MIN))
+        d = jnp.where(lo | hi, f - frac_l[n], d)
+        frac_l[n] = f
+        dfrac[n] = d
+        return space - f + FRAC_MIN
+
+    def solve_pair(i0, i1, dom01, space):
+        """2x2 implicit solve for a dominance pair, dominant first
+        (COMPETE P/Q/R elimination), with where-swaps for the
+        per-cell dominance direction."""
+        swapped = ~dom01
+
+        def sel(a, bsl):
+            return jnp.where(swapped, bsl, a)
+
+        iN, iM = i0, i1   # logical; physical slabs picked via sel
+        fracn = jnp.maximum(sel(frac_l[iN], frac_l[iM]), FRAC_SEED)
+        fracm = jnp.maximum(sel(frac_l[iM], frac_l[iN]), FRAC_SEED)
+        dbNN = sel(db[iN, iN], db[iM, iM])
+        dbMM = sel(db[iM, iM], db[iN, iN])
+        dbNM = sel(db[iN, iM], db[iM, iN])
+        dbMN = sel(db[iM, iN], db[iN, iM])
+        p1 = gamma / fracn - forw_w * dbNN
+        p2 = gamma / fracm - forw_w * dbMM
+        q1 = -forw_w * dbNM
+        q2 = -forw_w * dbMN
+        r1 = sel(coupled_rhs(iN), coupled_rhs(iM))
+        r2 = sel(coupled_rhs(iM), coupled_rhs(iN))
+        dN = (r1 - (q1 / p2) * r2) / jnp.maximum(
+            p1 - (q1 / p2) * q2, DENOM_MIN)
+        # dominant claims space first
+        fN_old = sel(frac_l[iN], frac_l[iM])
+        fN = fN_old + dN
+        fN_cl = jnp.clip(fN, FRAC_MIN, jnp.maximum(space, FRAC_MIN))
+        dN = jnp.where((fN < FRAC_MIN) | (fN > space), fN_cl - fN_old,
+                       dN)
+        space = space - fN_cl + FRAC_MIN
+        # subordinate
+        dM = (r2 - q2 * dN) / jnp.maximum(p2, DENOM_MIN)
+        fM_old = sel(frac_l[iM], frac_l[iN])
+        fM = fM_old + dM
+        fM_cl = jnp.clip(fM, FRAC_MIN, jnp.maximum(space, FRAC_MIN))
+        dM = jnp.where((fM < FRAC_MIN) | (fM > space), fM_cl - fM_old,
+                       dM)
+        space = space - fM_cl + FRAC_MIN
+        # scatter back to physical indices
+        frac_l[i0] = jnp.where(swapped, fM_cl, fN_cl)
+        frac_l[i1] = jnp.where(swapped, fN_cl, fM_cl)
+        dfrac[i0] = jnp.where(swapped, dM, dN)
+        dfrac[i1] = jnp.where(swapped, dN, dM)
+        return space
+
+    space = solve_pair(0, 1, t_dom, space)          # trees
+    # shrub (single, rank 3)
+    fracn = jnp.maximum(frac_l[4], FRAC_SEED)
+    d4 = coupled_rhs(4) / jnp.maximum(
+        gamma / fracn - forw_w * db[4, 4], DENOM_MIN)
+    space = clip_and_claim(4, d4, space)
+    space = solve_pair(2, 3, g_dom, space)          # grasses
+
+    frac_new = jnp.stack(frac_l)
+    # soil is the exact residual (lotka.F:449-452, no lower clip —
+    # the sequential space accounting already guarantees it >= 0)
+    soil_frac = jnp.maximum(1.0 - nosoil - jnp.sum(frac_new, axis=0),
+                            0.0)
     frac_out = jnp.concatenate([frac_new, soil_frac[None]], axis=0)
     dfrac = frac_new - frac[:NPFT]
 

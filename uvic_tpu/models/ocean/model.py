@@ -21,6 +21,7 @@ from dataclasses import dataclass
 from functools import partial
 from types import SimpleNamespace
 from typing import Any
+import os
 
 import jax
 import jax.numpy as jnp
@@ -319,6 +320,8 @@ class OceanModel:
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
             on_tpu = False
+        if os.environ.get("UVIC_TPU_NO_PALLAS") == "1":
+            on_tpu = False     # debug escape hatch: force XLA paths
         # fused Pallas tracer step (FCT + diffusion + invtri in one
         # VMEM-resident kernel, ops/pallas_tracer.py): the XLA roll
         # cascade is the step's dominant HBM-traffic term

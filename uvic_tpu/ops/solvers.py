@@ -160,7 +160,12 @@ def congrad(cf, guess, forc, isl: IslandIndex, tol, max_iter: int,
         k = st["k"] + 1
         zres = deflate(inv_op(st["res"]))
         betak = dot2(zres, st["res"])
-        s = zres + (betak / st["betakm1"]) * st["s"]
+        # guard the recurrence against an exactly-zero betakm1 (f32 on
+        # TPU flushes denormal residual dot-products to zero before the
+        # convergence estimate fires; same guard as the Pallas kernel)
+        denom_b = jnp.where(jnp.abs(st["betakm1"]) > 0.0,
+                            st["betakm1"], 1.0)
+        s = zres + (betak / denom_b) * st["s"]
         As = border(apply_op9(cf, s), cyclic)
         s_dot_As = dot2(s, As)
         safe = jnp.abs(s_dot_As) > jnp.abs(betak) * 1.0e-10
@@ -189,3 +194,62 @@ def congrad(cf, guess, forc, isl: IslandIndex, tol, max_iter: int,
     st = jax.lax.while_loop(cond, body, state0)
     converged = st["done"] | trivially_done
     return deflate(st["dpsi"]), st["k"], st["est"], converged
+
+
+def bicgstab_safe(matvec, b, x0, M, tol, maxiter):
+    """Breakdown-guarded BiCGSTAB (van der Vorst 1992) for the EMBM
+    transport solves (solve.F solver-zoo replacement).
+
+    jax.scipy's bicgstab divides by rho/omega without guards; on TPU
+    the nondeterministic f32 reductions can flush a tiny dot product
+    to exactly zero mid-iteration, and one 0/0 poisons the whole fused
+    segment program.  Here every division is guarded and the iterate
+    freezes once converged or broken down (the last finite iterate is
+    returned — for the diagonally-dominant EMBM operator a breakdown
+    only happens at convergence-level residuals).
+    """
+    dtype = b.dtype
+    tiny = jnp.asarray(1e-30, dtype)
+
+    def sdot(a, c):
+        return jnp.sum(a * c)
+
+    def safe_div(n, d):
+        ok = jnp.abs(d) > tiny
+        return jnp.where(ok, n / jnp.where(ok, d, 1.0), 0.0), ok
+
+    r0 = b - matvec(x0)
+    bnorm = jnp.sqrt(sdot(b, b))
+    st = dict(x=x0, r=r0, rhat=r0, p=r0,
+              rho=sdot(r0, r0), k=jnp.asarray(0, jnp.int32),
+              done=jnp.sqrt(sdot(r0, r0)) <= tol * jnp.maximum(
+                  bnorm, tiny))
+
+    def cond(st):
+        return (~st["done"]) & (st["k"] < maxiter)
+
+    def body(st):
+        p_hat = M(st["p"])
+        v = matvec(p_hat)
+        alpha, ok_a = safe_div(st["rho"], sdot(st["rhat"], v))
+        s = st["r"] - alpha * v
+        s_hat = M(s)
+        t = matvec(s_hat)
+        omega, ok_o = safe_div(sdot(t, s), sdot(t, t))
+        x = st["x"] + alpha * p_hat + omega * s_hat
+        r = s - omega * t
+        rho_new = sdot(st["rhat"], r)
+        beta_f, ok_b = safe_div(rho_new * alpha, st["rho"] * omega)
+        p = r + beta_f * (st["p"] - omega * v)
+        rnorm = jnp.sqrt(sdot(r, r))
+        done = (rnorm <= tol * jnp.maximum(bnorm, tiny)) \
+            | ~(ok_a & ok_o & ok_b)
+        keep = st["done"]
+        sel = lambda new, old: jnp.where(keep, old, new)
+        return dict(x=sel(x, st["x"]), r=sel(r, st["r"]),
+                    rhat=st["rhat"], p=sel(p, st["p"]),
+                    rho=jnp.where(keep, st["rho"], rho_new),
+                    k=st["k"] + 1, done=st["done"] | done)
+
+    st = jax.lax.while_loop(cond, body, st)
+    return st["x"]
