@@ -92,3 +92,40 @@ def test_earth_coupled_segment_runs():
     state = m.run_segment(state)
     assert not bool(jnp.isnan(state.ocean.t).any())
     assert not bool(jnp.isnan(state.atm.at).any())
+
+
+def test_landice_fields_footprint_and_application():
+    """icedata.F analog: the LGM footprint binarizes at >=0.5 extent
+    scale (icedata.F interpolation), covers the Laurentide/Fennoscandian
+    sectors at full scale, and feeds the EMBM as an ice-sheet coalbedo
+    + elevation anomaly."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uvic_tpu.config import small_config
+    from uvic_tpu.core.earth import landice_fields
+    from uvic_tpu.coupler.driver import CoupledModel
+
+    cfg = small_config().replace(dtype="float64")
+    m = CoupledModel(cfg, topo_kind="earth")
+    g = m.grid
+    a0, h0 = landice_fields(g, 0.4)     # below the 0.5 binarization
+    assert float(np.abs(a0).max()) == 0.0
+    a1, h1 = landice_fields(g, 1.0)
+    lat = np.asarray(g.yt)[:, None]
+    lon = np.asarray(g.xt)[None, :] % 360.0
+    laurentide = (lat > 50) & (lat < 70) & (lon > 230) & (lon < 290)
+    assert a1[np.broadcast_to(laurentide, a1.shape)].max() == 1.0
+    assert (h1[a1 > 0.5] > 0).all()
+    # application: ice-covered land absorbs less shortwave
+    st = m.init_state()
+    fl_mod = m.embm.fluxes(st.atm, st.ocean.t[0, 0])
+    fl_lgm = m.embm.fluxes(st.atm, st.ocean.t[0, 0],
+                           hicel=jnp.asarray(h1), aicel=jnp.asarray(a1))
+    dn_mod = np.asarray(fl_mod["dnswr"])
+    dn_lgm = np.asarray(fl_lgm["dnswr"])
+    ice_cells = (a1 > 0.5) & (np.asarray(m.embm.lmsk) > 0.5)
+    assert ice_cells.any()
+    assert (dn_lgm[ice_cells] < dn_mod[ice_cells] - 1.0).all()

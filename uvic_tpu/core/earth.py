@@ -184,6 +184,11 @@ def earth_depth(grid: Grid) -> np.ndarray:
     # slope: 1 cell off coast ~2200 m, 2 cells ~3800 m, deep ~5000 m
     depth_m = 5000.0 * (1.0 - np.exp(-np.maximum(d, 0.0) / 1.2))
     depth_m = np.where(lat > 70.0, np.minimum(depth_m, 2500.0), depth_m)
+    # Greenland-Scotland/Fram sill band: the Arctic exchanges with the
+    # Atlantic over a shallow ridge system; without it warm deep
+    # Atlantic water floods the Arctic basin and erodes the halocline
+    depth_m = np.where((lat >= 74.0) & (lat <= 80.0),
+                       np.minimum(depth_m, 1200.0), depth_m)
 
     lonf = np.asarray(grid.xt)[None, :] % 360.0
     LON = np.broadcast_to(lonf, depth_m.shape)
@@ -352,7 +357,7 @@ def earth_atm_coalbedo(grid: Grid) -> np.ndarray:
     cloudy midlatitude storm tracks, ~0.6 poles with the bright
     surface):  aca = 0.80 - 0.145 sin^2(lat) - storm-track dip."""
     lat = np.asarray(grid.yt, dtype=float)
-    aca = (0.80 - 0.18 * np.sin(np.deg2rad(lat)) ** 2
+    aca = (0.785 - 0.175 * np.sin(np.deg2rad(lat)) ** 2
            - 0.02 * (_gauss(lat, 52.0, 12.0) + _gauss(lat, -52.0, 12.0)))
     return np.broadcast_to(aca[:, None], (grid.jmt, grid.imt)).copy()
 
@@ -396,8 +401,10 @@ def earth_initial_ts(grid: Grid, kmt: np.ndarray):
     sst = -1.5 + 29.0 * np.exp(-(LAT / 38.0) ** 2)
     # thermocline decay to a 1C abyss; thinner thermocline at high lat
     scale = (350.0 + 650.0 * np.exp(-(LAT / 30.0) ** 2)) * 100.0  # cm
-    deep = 1.0
-    temp = deep + (sst - deep)[None] * np.exp(-z / scale[None])
+    # deep water is coldest under the polar formation regions (the
+    # 1 C-everywhere start kept melting Arctic ice from below)
+    deep = 0.2 + 1.3 * np.exp(-(LAT / 45.0) ** 2)
+    temp = deep[None] + (sst - deep)[None] * np.exp(-z / scale[None])
 
     # salinity [psu]: subtropical evaporation maxima, ITCZ minimum,
     # fresh polar caps (Arctic fresher than Southern Ocean)
@@ -405,7 +412,7 @@ def earth_initial_ts(grid: Grid, kmt: np.ndarray):
                          + np.exp(-((LAT + 18.0) / 14.0) ** 2))
            - 0.6 * np.exp(-(LAT / 6.0) ** 2)
            - 2.5 / (1.0 + np.exp(-(LAT - 68.0) / 4.0))
-           - 1.0 / (1.0 + np.exp(-(-LAT - 62.0) / 4.0)))
+           - 1.8 / (1.0 + np.exp(-(-LAT - 60.0) / 4.0)))
     deep_s = 34.7
     hal_scale = 60000.0    # 600 m halocline
     salt = deep_s + (sss - deep_s)[None] * np.exp(-z / hal_scale)
@@ -438,3 +445,37 @@ def earth_elevation(grid: Grid) -> np.ndarray:
         _point_in_poly(LON, LAT, GREENLAND), 2000.0, 0.0))
     elev = np.maximum(elev, np.where(LAT <= ANTARCTIC_LAT, 2400.0, 0.0))
     return elev * 100.0   # cm
+
+
+# LGM continental ice-sheet outlines (~21 ka footprint at 3-deg
+# fidelity): Laurentide+Cordilleran, Fennoscandian+Barents-Kara,
+# Patagonian; Greenland/Antarctica are already ice in the modern
+# albedo profile.  (icedata.F reads these from L_icefra data.)
+LGM_ICE = [
+    [(215.0, 47.0), (240.0, 48.0), (262.0, 38.0), (283.0, 38.0),
+     (295.0, 45.0), (300.0, 60.0), (290.0, 72.0), (260.0, 74.0),
+     (230.0, 72.0), (212.0, 62.0)],                       # N America
+    [(348.0, 51.0), (10.0, 50.0), (35.0, 52.0), (62.0, 58.0),
+     (90.0, 68.0), (95.0, 77.0), (60.0, 80.0), (20.0, 75.0),
+     (352.0, 62.0)],                                      # Eurasia
+    [(287.0, -56.0), (290.0, -38.0), (293.5, -38.0), (293.0, -55.0)],
+]
+
+
+def landice_fields(grid: Grid, scale: float):
+    """(aicel, hicel): land-ice fraction (0/1) and ice-sheet surface
+    elevation anomaly [cm] at ice-sheet extent ``scale`` (0 = modern,
+    1 = LGM), following icedata.F's >=0.5 binarization of the
+    time-interpolated fraction and its hicel elevation addition
+    (applied as elev + hicel in fluxes.F:112,344)."""
+    land = land_mask(grid)
+    lon = np.asarray(grid.xt) % 360.0
+    lat = np.asarray(grid.yt)
+    LON, LAT = np.meshgrid(lon, lat)
+    lgm = np.zeros(LON.shape, dtype=bool)
+    for poly in LGM_ICE:
+        lgm |= _point_in_poly(LON, LAT, poly)
+    lgm &= land
+    aicel = ((lgm.astype(float) * float(scale)) >= 0.5).astype(float)
+    hicel = aicel * 2500.0e2 * float(scale)   # ~2.5 km LGM domes [cm]
+    return aicel, hicel

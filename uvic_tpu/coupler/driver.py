@@ -107,6 +107,8 @@ class CoupledModel:
         self.solar_scale = 1.0  # transient (solar - volcanic)/solarconst
         self.sulph = None       # sulphate coalbedo-reduction field
         self.sealev = 0.0       # sea level rel. present [cm] (sealevdata)
+        self.landice = None     # (hicel, aicel) paleo ice sheets (icedata)
+        self._icesheet_scale = None
         from ..io.forcing import sulphate_pattern
         self._sulph_pattern = jnp.asarray(
             sulphate_pattern(grid.yt, imt=grid.imt), dtype=cfg.np_dtype)
@@ -254,7 +256,7 @@ class CoupledModel:
     def _atm_ice_step_impl(self, atm: AtmState, ice: IceState, sst, frzpt,
                            uocn, vocn, anthro, wind_pkg=None,
                            solins=None, cpts_st=None, land_gc=None,
-                           sulph=None, *, mixing: bool):
+                           sulph=None, landice=None, *, mixing: bool):
         """One atmosphere step with the ice model inside (embm.F:39-95).
         wind_pkg: optional (winds, wspd, taux_w, tauy_w) from the
         anomalous-wind feedback (winds.F add_awind).
@@ -279,8 +281,12 @@ class CoupledModel:
             winds_a, wspd_a, taux_w, tauy_w = wind_pkg
         solins_a = embm.solins if solins is None else solins
 
+        hicel = aicel = None
+        if landice is not None:
+            hicel, aicel = landice
         fl = embm.fluxes(atm, sst, dts=dts, anthro=anthro, wspd=wspd_a,
-                         solins=solins_a, land_gc=land_gc, sulph=sulph)
+                         solins=solins_a, land_gc=land_gc, sulph=sulph,
+                         hicel=hicel, aicel=aicel)
 
         # ---- sea ice (ice.F): dynamics, advection, thermodynamics ----
         use_cpts = self.cfg.ice.cpts > 0 and cpts_st is not None
@@ -380,10 +386,11 @@ class CoupledModel:
         coefs_q = embm._coef(embm.diff_q, dts, winds=winds_a)
         rhs_q = embm._bc(at_old[1] + forc_q)
         shum = embm.solve_tracer(rhs_q, atm.at[1], coefs_q,
-                                 cfg.solver_tol, cfg.solver_maxiter)
+                                 embm.solver_tol, cfg.solver_maxiter)
         flux_shum_land = evap * embm.lmsk
         shum, precip, psno, rh, soilm_new, runoff = embm.precipitate(
-            shum, atm, flux_shum_land, jnp.ones_like(evap), dts)
+            shum, atm, flux_shum_land, jnp.ones_like(evap), dts,
+            hicel=hicel)
 
         # snowfall accumulates on sea ice / land snow (fluxes.F:363-420):
         # over ocean only the ice-covered fraction holds snow
@@ -414,7 +421,7 @@ class CoupledModel:
         rhs_t = embm._bc(at_old[0] + forc_t)
         coefs_t = embm._coef(embm.diff_t, dts, winds=winds_a)
         sat = embm.solve_tracer(rhs_t, atm.at[0], coefs_t,
-                                cfg.solver_tol, cfg.solver_maxiter)
+                                embm.solver_tol, cfg.solver_maxiter)
 
         new_atm = AtmState(
             at=jnp.stack([sat, shum]), atm1=atm.at,
@@ -548,6 +555,7 @@ class CoupledModel:
             sulph=self.sulph,
             cfcccn=(None if self.cfcccn is None else
                     tuple(jnp.asarray(v, dt) for v in self.cfcccn)),
+            landice=self.landice,
             awind_clim=(self.awind.t_clim
                         if self.awind is not None else None),
         )
@@ -624,7 +632,7 @@ class CoupledModel:
             atm_n, ice_n, a, cpts_n = self._atm_ice_step_impl(
                 atm_c, ice_c, sst, frzpt, uocn, vocn, sc["anthro"],
                 wind_pkg, solins, cpts_c, land_gc, sc["sulph"],
-                mixing=mixing)
+                sc["landice"], mixing=mixing)
             acc_n = {k: acc_c[k] + a[k] for k in acc_c}
             tav_n = dict(sat=tav_c["sat"] + atm_n.at[0],
                          shum=tav_c["shum"] + atm_n.at[1],
@@ -787,6 +795,20 @@ class CoupledModel:
                     self.anthro = self.anthro + f["aggfor"]
                 if "sealev" in f:
                     self.sealev = f["sealev"]
+                if "icesheet" in f and f["icesheet"] \
+                        != self._icesheet_scale:
+                    # paleo continental ice sheets (icedata.F): rebuild
+                    # the authored footprint at the new extent scale
+                    self._icesheet_scale = f["icesheet"]
+                    if f["icesheet"] > 0.0:
+                        from ..core.earth import landice_fields
+                        ai, hi = landice_fields(self.grid,
+                                                f["icesheet"])
+                        dt = self.cfg.np_dtype
+                        self.landice = (jnp.asarray(hi, dt),
+                                        jnp.asarray(ai, dt))
+                    else:
+                        self.landice = None
                 if "sulph_scale" in f:
                     self.sulph = (self._sulph_pattern * f["sulph_scale"]
                                   if f["sulph_scale"] > 0.0 else None)

@@ -179,6 +179,7 @@ class TransientForcing:
     sulph: TransientSeries = None
     agg: TransientSeries = None
     sealev: TransientSeries = None
+    landice: TransientSeries = None
 
     @classmethod
     def default(cls):
@@ -187,7 +188,7 @@ class TransientForcing:
                    cfc11_n=cfc_series(11, "n"), cfc11_s=cfc_series(11, "s"),
                    cfc12_n=cfc_series(12, "n"), cfc12_s=cfc_series(12, "s"),
                    sulph=sulphate_series(), agg=agg_series(),
-                   sealev=sealev_series())
+                   sealev=sealev_series(), landice=landice_series())
 
     def at(self, year: float) -> dict:
         out = dict(
@@ -201,6 +202,8 @@ class TransientForcing:
             out["aggfor"] = self.agg.at(year)
         if self.sealev is not None:
             out["sealev"] = self.sealev.at(year)
+        if self.landice is not None:
+            out["icesheet"] = self.landice.at(year)
         if self.cfc11_n is not None:
             out.update(
                 cfc11ccnn=self.cfc11_n.at(year),
@@ -208,3 +211,13 @@ class TransientForcing:
                 cfc12ccnn=self.cfc12_n.at(year),
                 cfc12ccns=self.cfc12_s.at(year))
         return out
+
+
+def landice_series(path=None) -> TransientSeries:
+    """Continental ice-sheet EXTENT scale vs year (icedata.F
+    O_landice_data reads gridded L_icefra/L_icethk histories; we carry
+    a scalar 0..1 interpolating the authored modern -> LGM footprint,
+    core/earth.landice_fields).  Default: constant 0 (modern)."""
+    if path:
+        return TransientSeries.from_csv(path)
+    return TransientSeries.constant(0.0)

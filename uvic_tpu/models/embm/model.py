@@ -158,6 +158,11 @@ class EmbmModel:
         self.anthro = 0.0   # CO2 radiative forcing (co2forc)
         self.dtype = dt
         self.cyclic = grid.cyclic
+        # dtype-aware solver tolerance: the configured 1e-10 relative
+        # residual is unreachable in f32 (eps ~ 1.2e-7), so every
+        # transport solve would spin to maxiter; clamp to ~30 eps
+        self.solver_tol = max(cfg.solver_tol,
+                              30.0 * float(np.finfo(dt).eps))
 
         self._step = jax.jit(self._step_impl, static_argnames=("mixing",))
 
@@ -186,7 +191,7 @@ class EmbmModel:
     # ------------------------------------------------------------------
     def fluxes(self, state: AtmState, sst, aice=None, dts=54000.0,
                anthro=0.0, wspd=None, solins=None, land_gc=None,
-               sulph=None):
+               sulph=None, hicel=None, aicel=None):
         """Surface/TOA fluxes at tau (fluxes.F:2-278). sst: (jmt, imt).
         ``anthro``: CO2 radiative forcing [erg/cm^2/s] (co2forc).
         ``wspd``: overrides the prescribed wind speed (awind feedback).
@@ -197,10 +202,14 @@ class EmbmModel:
         all respond through the Newton energy balance).
         ``sulph``: anthropogenic sulphate optical-depth field reducing
         the surface coalbedo (fluxes.F:101 O_sulphate_data:
-        dnswr = solins*aca*pass*max(0, sca - sulph))."""
+        dnswr = solins*aca*pass*max(0, sca - sulph)).
+        ``hicel``/``aicel``: paleo continental ice-sheet elevation
+        anomaly [cm] and 0/1 extent mask (O_landice_data, icedata.F):
+        elevation enters every lapse-rate term (fluxes.F:112,344) and
+        ice-covered land takes the ice-sheet coalbedo."""
         at_sat = state.at[0]
         at_shum = state.at[1]
-        telev = self.elev
+        telev = self.elev if hicel is None else self.elev + hicel
         teff = at_sat - telev * C.RLAPSE * C.RF1 * jnp.exp(
             jnp.maximum(-1.0, -telev / C.RF2))
         tair = at_sat - telev * C.RLAPSE
@@ -213,6 +222,8 @@ class EmbmModel:
             solins = self.solins
         sca = self.sca if sulph is None \
             else jnp.maximum(0.0, self.sca - sulph)
+        if aicel is not None:
+            sca = jnp.where(aicel * self.lmsk > 0.5, 0.25, sca)
         dnswr = solins * self.aca * C.PASS * sca
         if self.dry_soil_albedo > 0.0:
             # dry land is brighter (desert albedo); scales the land
@@ -376,11 +387,12 @@ class EmbmModel:
         return self._bc(x)
 
     # ------------------------------------------------------------------
-    def precipitate(self, at_shum, state, flux_shum, psno_allowed, dts):
+    def precipitate(self, at_shum, state, flux_shum, psno_allowed, dts,
+                    hicel=None):
         """Condensation above rhmax + snow/soil bookkeeping
         (fluxes.F:280-446). Returns updated humidity and fields."""
         at_sat = state.at[0]
-        telev = self.elev
+        telev = self.elev if hicel is None else self.elev + hicel
         teff = at_sat - telev * C.RLAPSE * C.RF1 * jnp.exp(
             jnp.maximum(-1.0, -telev / C.RF2))
         ssh = C.CSSH * jnp.exp(17.67 * teff / (teff + 243.5))
@@ -421,7 +433,7 @@ class EmbmModel:
         coefs_q = self._coef(self.diff_q, dts)
         rhs_q = self._bc(at_old[1] + forc_q)
         shum_new = self.solve_tracer(rhs_q, state.at[1], coefs_q,
-                                     cfg.solver_tol, cfg.solver_maxiter)
+                                     self.solver_tol, cfg.solver_maxiter)
 
         # ---- precipitation -------------------------------------------
         flux_shum = evap * self.lmsk   # land freshwater bookkeeping
@@ -441,7 +453,7 @@ class EmbmModel:
         rhs_t = self._bc(at_old[0] + forc_t)
         coefs_t = self._coef(self.diff_t, dts)
         sat_new = self.solve_tracer(rhs_t, state.at[0], coefs_t,
-                                    cfg.solver_tol, cfg.solver_maxiter)
+                                    self.solver_tol, cfg.solver_maxiter)
 
         at_new = jnp.stack([sat_new, shum_new])
         diag = AtmDiag(precip=precip, psno=psno, evap=evap, rh=rh,
