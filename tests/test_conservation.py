@@ -115,3 +115,35 @@ def test_atm_water_step_closure(coupled):
     resid = d_reservoirs + delivered
     assert abs(resid) < 5e-3 * (abs(delivered) + 1e3), \
         (d_reservoirs, delivered, resid)
+
+
+def test_deterministic_audit_bitwise_under_sharding():
+    """ConservationAudit(deterministic=True) yields BITWISE-identical
+    inventories whether the state is sharded over a (2,4) or (1,8)
+    mesh or unsharded: column partials are computed on device (the k
+    axis is never sharded), the horizontal sum runs host-side in fixed
+    order (SURVEY row 64 deterministic-reduction option)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uvic_tpu.config import small_config
+    from uvic_tpu.diag.conservation import ConservationAudit
+    from uvic_tpu.models.ocean.model import make_ocean
+    from uvic_tpu.parallel.mesh import make_mesh, shard_pytree
+
+    cfg = small_config(imt=34, jmt=34, km=8)
+    m = make_ocean(cfg)
+    g = m.params.grid
+    rng = np.random.default_rng(3)
+    t0 = rng.standard_normal((2, g.km, g.jmt, g.imt)) \
+        * np.asarray(m.params.topo.tmask)
+    state = m.init_state(t0)
+    audit = ConservationAudit(m, deterministic=True)
+    ref = audit.inventories(state)
+    for shape in ((2, 4), (1, 8)):
+        mesh = make_mesh(shape)
+        s = shard_pytree(state, mesh)
+        got = audit.inventories(s)
+        for k in ref:
+            assert got[k] == ref[k], (k, got[k], ref[k])

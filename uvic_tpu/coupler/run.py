@@ -40,7 +40,7 @@ class Run:
     """Alarm-cadenced production driver around a CoupledModel."""
 
     def __init__(self, model: CoupledModel, outdir: str,
-                 log=None):
+                 log=None, deterministic_audit=False):
         self.m = model
         self.outdir = outdir
         os.makedirs(outdir, exist_ok=True)
@@ -51,7 +51,8 @@ class Run:
         self.tsi = TsiDiagnostics(model.ocean, model.embm)
         self.tsi_writer = TsiWriter(os.path.join(outdir, "tsi.csv"))
         self.tavg = TavgAccumulator()
-        self.audit = ConservationAudit(model.ocean)
+        self.audit = ConservationAudit(
+            model.ocean, deterministic=deterministic_audit)
         self._audit_start = None
         self._tavg_n = 0
         self._log = log or (lambda msg: None)

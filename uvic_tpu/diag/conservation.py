@@ -23,7 +23,14 @@ from ..models.embm import constants as C
 
 
 class ConservationAudit:
-    def __init__(self, ocean_model):
+    def __init__(self, ocean_model, deterministic=False):
+        """deterministic=True: reduction-order-independent sums.  The
+        device computes only per-COLUMN contributions (the k axis is
+        never sharded, so each column partial is bitwise identical
+        under any (y, x) mesh layout), and the horizontal sum runs on
+        the host in float64 in fixed C order.  Sharded and unsharded
+        runs then produce bitwise-equal inventories — the
+        deterministic-reduction option of SURVEY §2.9/row 64."""
         g = ocean_model.params.grid
         tmask = ocean_model.tmask
         dvol = (jnp.asarray(g.dzt)[:, None, None]
@@ -32,7 +39,9 @@ class ConservationAudit:
                 * jnp.asarray(g.dxt)[None, None, :]) * tmask
         # count each physical cell once (exclude duplicated columns)
         self.dvol = dvol.at[:, :, 0].set(0.0).at[:, :, -1].set(0.0)
+        self.deterministic = deterministic
         self._inv = jax.jit(self._inventories)
+        self._cols = jax.jit(self._column_partials)
 
     def _inventories(self, t):
         return dict(
@@ -40,7 +49,15 @@ class ConservationAudit:
             salt=jnp.sum(t[1] * self.dvol),      # [model-S cm^3]
         )
 
+    def _column_partials(self, t):
+        return dict(heat=jnp.sum(t[0] * self.dvol, axis=0),
+                    salt=jnp.sum(t[1] * self.dvol, axis=0))
+
     def inventories(self, ocean_state) -> dict:
+        if self.deterministic:
+            cols = self._cols(ocean_state.t)
+            return {k: float(np.asarray(v, np.float64).sum())
+                    for k, v in cols.items()}
         return {k: float(v) for k, v in self._inv(ocean_state.t).items()}
 
     def drift(self, before: dict, after: dict) -> dict:
