@@ -131,6 +131,9 @@ def validate(cfg: ModelConfig) -> List[str]:
     if o.isopycmix and o.hmix == "biharmonic":
         warnings.append("isopycmix + biharmonic: the reference warns "
                         "this combination is untested (checks.F:288)")
+    if getattr(o, "full_tensor", False) and not o.isopycmix:
+        errors.append("O_full_tensor requires O_isopycmix "
+                      "(isopyc.F:110-114)")
 
     # --- precision ------------------------------------------------------
     if cfg.dtype not in ("float32", "float64"):

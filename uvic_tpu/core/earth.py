@@ -357,7 +357,7 @@ def earth_atm_coalbedo(grid: Grid) -> np.ndarray:
     cloudy midlatitude storm tracks, ~0.6 poles with the bright
     surface):  aca = 0.80 - 0.145 sin^2(lat) - storm-track dip."""
     lat = np.asarray(grid.yt, dtype=float)
-    aca = (0.785 - 0.175 * np.sin(np.deg2rad(lat)) ** 2
+    aca = (0.793 - 0.172 * np.sin(np.deg2rad(lat)) ** 2
            - 0.02 * (_gauss(lat, 52.0, 12.0) + _gauss(lat, -52.0, 12.0)))
     return np.broadcast_to(aca[:, None], (grid.jmt, grid.imt)).copy()
 
@@ -373,9 +373,7 @@ def earth_atm_diff(grid: Grid):
     dry)."""
     lat = grid.yt
     dt_ = 5.0e9 * (0.9 + 1.3 * (_gauss(lat, 47.0, 13.0)
-                                + _gauss(lat, -50.0, 13.0))
-                   - 0.2 * (_gauss(lat, 90.0, 10.0)
-                            + _gauss(lat, -90.0, 10.0)))
+                                + _gauss(lat, -50.0, 13.0)))
     dq = 5.0e9 * (0.9 + 0.7 * _gauss(lat, 0.0, 11.0))
     jmt, imt = grid.jmt, grid.imt
     return (np.broadcast_to(dt_[:, None], (jmt, imt)).copy(),

@@ -224,8 +224,12 @@ class OceanModel:
             np.asarray(g.yt)[:, None], (jmt, imt)))
         if cfg.ocean.tidal_kv:
             from .vmix import default_tidal_edr
+            area_t = (np.asarray(g.cst)[:, None]
+                      * np.asarray(g.dyt)[:, None]
+                      * np.asarray(g.dxt)[None, :])
             self.tidal_edr = default_tidal_edr(
-                np.asarray(topo.kmt), np.asarray(g.dzt))
+                np.asarray(topo.kmt), np.asarray(g.dzt),
+                ht_cm=np.asarray(topo.ht), area=area_t)
             self.tidal_zw = jn(np.asarray(g.zw)[:km])
 
         # anisotropic viscosity / zonal-mixing static fields

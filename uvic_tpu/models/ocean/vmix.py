@@ -138,15 +138,37 @@ def tidal_kv_diff(drodzb, kmt, zw_cm, tlat_deg, edr, base_diff,
     return jnp.where(face_ok, diff, base_diff)
 
 
-def default_tidal_edr(kmt, dzt_cm, e0_gs3=3.5):
-    """Placeholder tidal-dissipation field when the reference's
-    O_tidenrg data file is unavailable: the global-mean ~1 TW of tidal
-    dissipation (~3.5 g/s^3 column-integrated, Jayne & St. Laurent
-    2001) deposited in the bottom cell of every column.  Swap for the
-    real constituent maps via `tidal_kv_diff(edr=dict(...))` when data
-    exists."""
+def default_tidal_edr(kmt, dzt_cm, ht_cm=None, area=None, e0_gs3=3.5):
+    """Tidal-dissipation field when the reference's O_tidenrg data
+    file is unavailable.
+
+    With bathymetry (``ht_cm``), the column dissipation follows the
+    Jayne & St. Laurent (2001) scaling E ~ rho kappa h^2 N u^2 with
+    the topographic-roughness factor h^2 ~ |grad H|^2 evaluated on the
+    model's own ridge/sill bathymetry, normalized so the area-weighted
+    mean column integral stays at ~e0 (the ~1 TW global M2+S2
+    deposit).  Ridges and sills then mix, abyssal plains do not —
+    the first-order structure of the real O_tidenrg maps.  Without
+    bathymetry, falls back to a uniform bottom deposit."""
     km = dzt_cm.shape[0]
     levels = np.arange(km).reshape(km, 1, 1)
     kmtn = np.asarray(kmt)
     is_bot = (levels == np.maximum(kmtn - 1, 0)[None]) & (kmtn > 0)[None]
-    return jnp.asarray(np.where(is_bot, e0_gs3, 0.0))
+    e_col = np.full(kmtn.shape, e0_gs3)
+    if ht_cm is not None:
+        h = np.asarray(ht_cm, dtype=np.float64)
+        dhx = np.roll(h, -1, axis=1) - h
+        dhy = np.roll(h, -1, axis=0) - h
+        dhy[-1] = 0.0
+        rough = dhx ** 2 + dhy ** 2
+        ocean = kmtn > 0
+        rough = np.where(ocean, rough, 0.0)
+        mean_r = max(rough[ocean].mean(), 1e-30) if ocean.any() else 1.0
+        w = 0.1 + rough / mean_r          # background + roughness
+        if area is not None:
+            a = np.asarray(area) * ocean
+            norm = (w * a).sum() / max(a.sum(), 1e-30)
+        else:
+            norm = max(w[ocean].mean(), 1e-30) if ocean.any() else 1.0
+        e_col = e0_gs3 * w / norm
+    return jnp.asarray(np.where(is_bot, e_col[None], 0.0))
