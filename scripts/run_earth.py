@@ -49,6 +49,7 @@ def main(years=10, out="earth_run.json"):
     area[:, 0] = 0.0
     area[:, -1] = 0.0
     area_j = jnp.asarray(area, m.cfg.np_dtype)
+    area_all = area_j   # full-sphere area weights (land + ocean)
     lat = np.broadcast_to(np.asarray(g.yt)[:, None], area.shape)
     nh = jnp.asarray((lat > 0) * area, m.cfg.np_dtype)
     sh = jnp.asarray((lat < 0) * area, m.cfg.np_dtype)
@@ -57,10 +58,12 @@ def main(years=10, out="earth_run.json"):
     def diags(state):
         sst = state.ocean.t[0, 0]
         osum = jnp.sum(tmsk * area_j)
-        u_full = m.ocean.full_velocity(state.ocean.u, state.ocean.psi0)
-        moc = meridional_overturning(u_full[1], m.ocean.g, m.ocean.umask)
+        # MOC from segment-mean velocity (diagi.F averages; the
+        # instantaneous field aliases leapfrog/inertial noise)
+        v_mean = m.last_tavg["v"]
+        moc = meridional_overturning(v_mean, m.ocean.g, m.ocean.umask)
         moc_atl = meridional_overturning(
-            u_full[1], m.ocean.g, m.ocean.umask * amask[None])
+            v_mean, m.ocean.g, m.ocean.umask * amask[None])
         zt = np.asarray(g.zt)
         deep = jnp.asarray(zt >= 500.0e2)[:, None]
         jlat = jnp.asarray((np.asarray(g.yu) > 20.0)
@@ -77,6 +80,13 @@ def main(years=10, out="earth_run.json"):
             moc_atl_deep_max_sv=float(jnp.max(
                 jnp.where(deep & jlat, moc_atl, -jnp.inf))) / 1e12,
             psi_max_sv=float(jnp.abs(state.ocean.psi0).max()) / 1e12,
+            toa_wm2=float(jnp.sum(
+                (m.last_acc["toa_sw"] - m.last_acc["olr"])
+                / m.last_acc["time"] * 1e-3 * area_all)
+                / jnp.sum(area_all)),
+            ohf_wm2=float(jnp.sum(
+                m.last_acc["heat"] / m.last_acc["time"] * 1e-3
+                * tmsk * area_j) / osum),
         )
 
     seg_days = cfg.time.segtim_days

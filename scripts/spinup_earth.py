@@ -1,0 +1,156 @@
+"""Long coupled spinup of the earth configuration.
+
+Runs N model years, logging ANNUAL-mean climate diagnostics (the
+per-segment numbers alias the seasonal cycle) to a JSONL file and
+checkpointing the full coupled state every ``save_every`` years so runs
+can resume (io/restart).
+
+The reference's spinup is the model's core use case
+(source/common/UVic_ESCM.F:296-416 segment loop over decades);
+``--accel`` enables the accel.h deep tracer acceleration for faster
+deep-ocean equilibration (Bryan 1984 asynchronous stepping).
+
+Usage:
+  python scripts/spinup_earth.py YEARS [--accel F] [--out DIR]
+                                 [--resume] [--log FILE]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+import uvic_tpu
+
+uvic_tpu.enable_compile_cache()
+
+
+def yearly_diags(m, state, acc_sum, v_ann, psi_ann, ice_samples, area,
+                 oarea, lat):
+    import jax.numpy as jnp
+    from uvic_tpu.diag.energy import meridional_overturning
+
+    sst = np.asarray(state.ocean.t[0, 0])
+    sat = np.asarray(state.atm.at[0])
+    tsec = acc_sum["time"]
+    toa2d = (acc_sum["toa_sw"] - acc_sum["olr"]) / tsec * 1e-3
+    heat2d = acc_sum["heat"] / tsec * 1e-3
+    moc = np.asarray(meridional_overturning(
+        jnp.asarray(v_ann, state.ocean.t.dtype), m.ocean.g,
+        m.ocean.umask), np.float64) / 1e12
+    ice_nh = np.asarray([s[0] for s in ice_samples])
+    ice_sh = np.asarray([s[1] for s in ice_samples])
+
+    def zavg(f, lats):
+        out = []
+        for L in lats:
+            j = int(np.argmin(np.abs(lat - L)))
+            w = area[j]
+            out.append(round(float((f[j] * w).sum()
+                                   / max(w.sum(), 1e-30)), 1))
+        return out
+
+    return dict(
+        sat_gm=round(float((sat * area).sum() / area.sum()), 3),
+        sst_gm=round(float((sst * oarea).sum() / oarea.sum()), 3),
+        toa_gm=round(float((toa2d * area).sum() / area.sum()), 3),
+        ohf_gm=round(float((heat2d * oarea).sum() / oarea.sum()), 3),
+        ice_nh_min=round(float(ice_nh.min()), 2),
+        ice_nh_max=round(float(ice_nh.max()), 2),
+        ice_sh_min=round(float(ice_sh.min()), 2),
+        ice_sh_max=round(float(ice_sh.max()), 2),
+        psi_max=round(float(np.abs(psi_ann).max()) / 1e12, 1),
+        moc_max=round(float(moc.max()), 1),
+        moc_min=round(float(moc.min()), 1),
+        toa_z=zavg(toa2d, [-85, -60, -30, 0, 30, 60, 85]),
+        sat_z=zavg(sat, [-85, -60, -30, 0, 30, 60, 85]),
+    )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("years", type=int)
+    p.add_argument("--accel", type=float, default=1.0)
+    p.add_argument("--out", default="earth_spinup")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--log", default=None)
+    p.add_argument("--save-every", type=int, default=10)
+    args = p.parse_args()
+
+    import jax.numpy as jnp
+    from uvic_tpu.config import earth_config
+    from uvic_tpu.coupler.driver import CoupledModel
+    from uvic_tpu.io.restart import load_restart, save_restart
+
+    os.makedirs(args.out, exist_ok=True)
+    logpath = args.log or os.path.join(args.out, "spinup_log.jsonl")
+    cfg = earth_config(accel=args.accel)
+    m = CoupledModel(cfg, topo_kind="earth")
+    g = m.grid
+    lat = np.asarray(g.yt)
+    area = (np.asarray(g.cst)[:, None] * np.asarray(g.dyt)[:, None]
+            * np.asarray(g.dxt)[None, :])
+    area[:, 0] = 0.0
+    area[:, -1] = 0.0
+    tmsk = np.asarray(m.embm.tmsk)
+    oarea = area * tmsk
+    nh = (lat > 0)[:, None] * oarea
+    sh = (lat < 0)[:, None] * oarea
+
+    state = m.init_state()
+    year0 = 0
+    ckpt = os.path.join(args.out, "restart.npz")
+    meta = os.path.join(args.out, "restart_meta.json")
+    if args.resume and os.path.exists(ckpt):
+        state = load_restart(ckpt, state)
+        with open(meta) as f:
+            md = json.load(f)
+        year0 = md["year"]
+        m.relyr = md["relyr"]
+        print(f"resumed at year {year0}", flush=True)
+
+    seg_per_year = int(round(365.0 / cfg.time.segtim_days))
+    t0 = time.time()
+    for yr in range(year0, year0 + args.years):
+        acc_sum = {}
+        v_sum = psi_sum = None
+        ice_samples = []
+        for s in range(seg_per_year):
+            state = m.run_segment(state)
+            m.relyr += cfg.time.segtim_days / 365.0
+            for k in ("toa_sw", "olr", "heat", "time"):
+                acc_sum[k] = acc_sum.get(k, 0.0) + np.asarray(
+                    m.last_acc[k], np.float64)
+            v = np.asarray(m.last_tavg["v"], np.float64)
+            psi = np.asarray(m.last_tavg["psi"], np.float64)
+            v_sum = v if v_sum is None else v_sum + v
+            psi_sum = psi if psi_sum is None else psi_sum + psi
+            if s % 6 == 0:
+                aice = np.asarray(state.ice.aice)
+                ice_samples.append(((aice * nh).sum() / 1e16,
+                                    (aice * sh).sum() / 1e16))
+        d = yearly_diags(m, state, acc_sum, v_sum / seg_per_year,
+                         psi_sum / seg_per_year, ice_samples, area,
+                         oarea, lat)
+        d["year"] = yr + 1
+        d["wall_s"] = round(time.time() - t0, 1)
+        if not np.isfinite(d["sat_gm"]):
+            raise SystemExit("non-finite state at year %d" % (yr + 1))
+        with open(logpath, "a") as f:
+            f.write(json.dumps(d) + "\n")
+        print(json.dumps(d), flush=True)
+        if (yr + 1 - year0) % args.save_every == 0 \
+                or yr + 1 == year0 + args.years:
+            save_restart(ckpt, state)
+            with open(meta, "w") as f:
+                json.dump(dict(year=yr + 1, relyr=m.relyr,
+                               accel=args.accel), f)
+
+
+if __name__ == "__main__":
+    main()

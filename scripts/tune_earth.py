@@ -65,10 +65,25 @@ def main(years=5):
             i = [int(np.argmin(np.abs(lat - L))) for L in lats]
             return [round(float(zb[j]), 1) for j in i]
 
-        u_full = m.ocean.full_velocity(state.ocean.u, state.ocean.psi0)
+        # MOC from the segment-mean velocity (diagi.F computes
+        # overturning from time-averaged fields; instantaneous v at the
+        # accelerated dtts carries inertial/leapfrog noise that aliased
+        # into the published 100-530 Sv figures)
+        v_mean = jnp.asarray(m.last_tavg["v"])
         moc = np.asarray(meridional_overturning(
-            u_full[1], m.ocean.g, m.ocean.umask)) / 1e12
+            v_mean, m.ocean.g, m.ocean.umask)) / 1e12
         nh = (lat > 0)[:, None]
+        # TOA / surface energy budget (per-segment accumulators)
+        acc = m.last_acc
+        tsec = float(acc["time"])
+        toa2d = (np.asarray(acc["toa_sw"]) - np.asarray(acc["olr"])) \
+            / tsec * 1e-3                                   # W/m^2
+        toa_gm = float((toa2d * area).sum() / area.sum())
+        olr_gm = float((np.asarray(acc["olr"]) / tsec * 1e-3
+                        * area).sum() / area.sum())
+        ohf_gm = float((np.asarray(acc["heat"]) / tsec * 1e-3
+                        * oarea).sum() / oarea.sum())
+        zs_toa = zonal(toa2d, area)
         d = dict(
             yr=yr,
             sat_gm=round(float((sat * area).sum() / area.sum()), 2),
@@ -85,6 +100,10 @@ def main(years=5):
                 state.ocean.psi0)).max()) / 1e12, 1),
             moc_max=round(float(moc.max()), 1),
             moc_min=round(float(moc.min()), 1),
+            toa_gm=round(toa_gm, 2),
+            olr_gm=round(olr_gm, 1),
+            ohf_gm=round(ohf_gm, 2),
+            toa_z=pick(zs_toa, [-85, -60, -30, 0, 30, 60, 85]),
             wall=round(time.time() - t0, 1),
         )
         print(json.dumps(d), flush=True)

@@ -110,6 +110,13 @@ class OceanConfig:
     kappa_h: float = 0.35                      # vertical diffusivity [cm^2/s]
     aidif: float = 0.5                         # implicit vertical-diffusion fraction
     nmix: int = 16                             # steps between mixing timesteps
+    # depth-dependent tracer-timestep acceleration (accel.h dtxcel):
+    # factor 1 above dtxcel_z0, ramping linearly in depth to
+    # dtxcel_deep at the bottom level.  The reference's asynchronous
+    # deep-acceleration for spinups; distorts transients, exact at
+    # equilibrium (Bryan 1984).
+    dtxcel_deep: float = 1.0
+    dtxcel_z0: float = 1.0e5                   # ramp start depth [cm]
     eb: bool = False                           # Euler backward (vs forward) mixing
     ncon: int = 1                              # convection passes (ncon scheme)
     cdbot: float = 1.3e-3                      # bottom drag coefficient
@@ -294,3 +301,26 @@ def small_config(imt: int = 34, jmt: int = 34, km: int = 8,
         z_res=(200.0e2, 200.0e2),
     )
     return ModelConfig(grid=g, **kw)
+
+
+def earth_config(dtype: str = "float32", accel: float = 1.0,
+                 **kw) -> ModelConfig:
+    """The flagship coupled real-Earth configuration: standard grid,
+    FCT + GM/Redi + tidal kv + geothermal + anisotropic viscosity,
+    seasonal EMBM, land model on.  ``accel`` > 1 enables the accel.h
+    deep tracer-timestep acceleration (spinup only).  Used by
+    scripts/run_earth.py, tune_earth.py, spinup_earth.py."""
+    import dataclasses as _dc
+    cfg = ModelConfig(dtype=dtype, **kw)
+    cfg = cfg.replace(
+        ocean=_dc.replace(
+            cfg.ocean, isopycmix=True, gent_mcwilliams=True,
+            tidal_kv=True, gthflx=True, aniso_visc=True,
+            aniso_zonal=True, dtxcel_deep=float(accel),
+            # stronger eddy thickness diffusion: flattens Southern
+            # Ocean isopycnals (bounds the ACC) and carries poleward
+            # eddy heat transport to the ice edge
+            athkdf=1.2e7),
+        embm=_dc.replace(cfg.embm, seasonal=True),
+        land=_dc.replace(cfg.land, enabled=True))
+    return cfg

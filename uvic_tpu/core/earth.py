@@ -307,7 +307,7 @@ def earth_wind_stress(grid: Grid) -> np.ndarray:
     polar easterlies.  1 Pa = 10 dyn/cm^2."""
     lat = grid.yu
     tx = (-0.65 * (_gauss(lat, 15.0, 9.0) + _gauss(lat, -15.0, 9.0))
-          + 1.0 * _gauss(lat, 45.0, 9.0) + 1.7 * _gauss(lat, -50.0, 9.0)
+          + 1.0 * _gauss(lat, 45.0, 9.0) + 1.5 * _gauss(lat, -50.0, 9.0)
           - 0.25 * _gauss(lat, 75.0, 7.0) - 0.25 * _gauss(lat, -66.0, 6.0))
     # meridional component: trade-wind convergence toward the ITCZ
     ty = (-0.20 * _gauss(lat, 12.0, 8.0) + 0.20 * _gauss(lat, -12.0, 8.0))
@@ -352,13 +352,15 @@ def earth_surface_wind(grid: Grid):
 def earth_atm_coalbedo(grid: Grid) -> np.ndarray:
     """(jmt, imt) atmospheric coalbedo (stand-in for A_calb.nc).
 
-    Tuned so the combined atmosphere+surface system lands near the
-    observed planetary albedo structure (~0.25 tropics, ~0.34 at the
-    cloudy midlatitude storm tracks, ~0.6 poles with the bright
-    surface):  aca = 0.80 - 0.145 sin^2(lat) - storm-track dip."""
+    Tuned against the ANNUAL-mean zonal TOA budget of the coupled
+    model (scripts/spinup_earth.py toa_z diagnostic): the meridional
+    gradient sets the poleward heat transport the circulation must
+    carry; the r3 profile (0.793 - 0.172 sin^2) left the poles
+    ~60 W/m2 short and drove an over-vigorous MOC.
+    aca = 0.80 - 0.115 sin^2(lat) - storm-track dip."""
     lat = np.asarray(grid.yt, dtype=float)
-    aca = (0.793 - 0.172 * np.sin(np.deg2rad(lat)) ** 2
-           - 0.02 * (_gauss(lat, 52.0, 12.0) + _gauss(lat, -52.0, 12.0)))
+    aca = (0.80 - 0.105 * np.sin(np.deg2rad(lat)) ** 2
+           - 0.01 * (_gauss(lat, 52.0, 12.0) + _gauss(lat, -52.0, 12.0)))
     return np.broadcast_to(aca[:, None], (grid.jmt, grid.imt)).copy()
 
 
@@ -371,9 +373,14 @@ def earth_atm_diff(grid: Grid):
     background.  Moisture: Hadley-region enhancement with the flat
     background elsewhere (the subtropical minimum keeps the dry zones
     dry)."""
-    lat = grid.yt
-    dt_ = 5.0e9 * (0.9 + 1.3 * (_gauss(lat, 47.0, 13.0)
-                                + _gauss(lat, -50.0, 13.0)))
+    lat = np.asarray(grid.yt, dtype=float)
+    # polar caps: without the enhancement the polar annual SAT settles
+    # near -55 C (transport-starved); the reference's A_difft fields
+    # carry the same high-latitude rise
+    polar = (1.0 / (1.0 + np.exp(-(np.abs(lat) - 63.0) / 5.0)))
+    dt_ = 5.0e9 * (0.9 + 1.3 * _gauss(lat, 47.0, 13.0)
+                   + 1.8 * _gauss(lat, -52.0, 14.0)
+                   + 1.6 * polar)
     dq = 5.0e9 * (0.9 + 0.7 * _gauss(lat, 0.0, 11.0))
     jmt, imt = grid.jmt, grid.imt
     return (np.broadcast_to(dt_[:, None], (jmt, imt)).copy(),
@@ -400,17 +407,26 @@ def earth_initial_ts(grid: Grid, kmt: np.ndarray):
     # thermocline decay to a 1C abyss; thinner thermocline at high lat
     scale = (350.0 + 650.0 * np.exp(-(LAT / 30.0) ** 2)) * 100.0  # cm
     # deep water is coldest under the polar formation regions (the
-    # 1 C-everywhere start kept melting Arctic ice from below)
+    # 1 C-everywhere start kept melting Arctic ice from below); the
+    # Southern-Ocean subsurface stays CDW-warm (real ~1.5 C at
+    # 500-2000 m) so winter convection can limit the ice edge
     deep = 0.2 + 1.3 * np.exp(-(LAT / 45.0) ** 2)
+    deep = np.where(LAT < -45.0,
+                    0.5 + 0.8 * np.exp(-((LAT + 45.0) / 30.0) ** 2),
+                    deep)
     temp = deep[None] + (sst - deep)[None] * np.exp(-z / scale[None])
 
     # salinity [psu]: subtropical evaporation maxima, ITCZ minimum,
     # fresh polar caps (Arctic fresher than Southern Ocean)
+    # polar caps: Arctic strongly fresh (real halocline); Southern
+    # Ocean only ~0.8 psu fresh — the r3 value (-1.8) over-stabilized
+    # the SO column, starved the winter surface of CDW heat, and froze
+    # ~40 Mkm^2 (2x observed)
     sss = (34.7 + 1.3 * (np.exp(-((LAT - 22.0) / 14.0) ** 2)
                          + np.exp(-((LAT + 18.0) / 14.0) ** 2))
            - 0.6 * np.exp(-(LAT / 6.0) ** 2)
            - 2.5 / (1.0 + np.exp(-(LAT - 68.0) / 4.0))
-           - 1.8 / (1.0 + np.exp(-(-LAT - 60.0) / 4.0)))
+           - 1.2 / (1.0 + np.exp(-(-LAT - 60.0) / 4.0)))
     deep_s = 34.7
     hal_scale = 60000.0    # 600 m halocline
     salt = deep_s + (sss - deep_s)[None] * np.exp(-z / hal_scale)

@@ -439,6 +439,16 @@ class CoupledModel:
         if xint is not None:
             taux_o = taux_w + xint * self.umsk
             tauy_o = tauy_w + yint * self.umsk
+        # TOA energy budget fields (global_sums.F planetary balance):
+        # planetary absorbed shortwave = atmosphere-absorbed part
+        # (solins*aca*scatter*(1+pass), the forc_t SW source) plus the
+        # surface-absorbed part after the ice/snow blend, minus what the
+        # surface reflects back through the scattering layer.  Net TOA
+        # (asw - olr) -> 0 is the equilibrium condition the reference's
+        # tuned data fields encode (setembm.F); the earth-config tuning
+        # closes on this diagnostic.
+        asw = (solins_a * embm.aca * C.SCATTER * (1.0 + C.PASS)
+               + dnswr * (1.0 - C.SCATTER))
         acc = dict(
             heat=dts * (dnswr - uplwr - upltnt - upsens) * ocean_msk
             + oadj["heat"],
@@ -448,6 +458,8 @@ class CoupledModel:
             tauy=dts * tauy_o,
             swr=dts * dnswr,
             wspd=dts * wspd_a,
+            toa_sw=dts * asw,
+            olr=dts * fl["outlwr"],
             time=dts,
         )
         if self.cfg.ocean.convect_brine and "brine_open" in oadj:
@@ -618,7 +630,8 @@ class CoupledModel:
         # ---- atm/ice substeps as one scan (embm.F:39-95) -------------
         z2 = jnp.zeros_like(sst)
         acc0 = dict(heat=z2, freshwater=z2, taux=z2, tauy=z2, swr=z2,
-                    wspd=z2, time=jnp.zeros((), sst.dtype))
+                    wspd=z2, toa_sw=z2, olr=z2,
+                    time=jnp.zeros((), sst.dtype))
         if self.cfg.ocean.convect_brine and self.cfg.ice.enabled:
             acc0["cbf"] = jnp.zeros((2,) + sst.shape, sst.dtype)
             acc0["cba"] = jnp.zeros((2,) + sst.shape, sst.dtype)

@@ -72,9 +72,18 @@ class OceanParams:
         self.ahc_south = (ah * g.csu[jm1] * g.dyur[jm1]
                           * g.cstr * g.dytr).astype(dt)
 
-        # depth-dependent tracer timestep acceleration (accel.h); identity
-        # unless configured otherwise
-        self.dtxcel = np.ones(g.km, dtype=dt)
+        # depth-dependent tracer timestep acceleration (accel.h,
+        # Bryan 1984 asynchronous stepping): 1 above dtxcel_z0, linear
+        # ramp in depth to dtxcel_deep at the bottom level
+        if cfg.ocean.dtxcel_deep > 1.0:
+            zt = np.asarray(g.zt, np.float64)
+            z0 = cfg.ocean.dtxcel_z0
+            zb = zt[-1]
+            frac = np.clip((zt - z0) / max(zb - z0, 1.0), 0.0, 1.0)
+            self.dtxcel = (1.0 + (cfg.ocean.dtxcel_deep - 1.0)
+                           * frac).astype(dt)
+        else:
+            self.dtxcel = np.ones(g.km, dtype=dt)
 
         # tracer registry (additive composition, size.h:28-50)
         from ...coupler.tracers import TracerIndex, build_registry
