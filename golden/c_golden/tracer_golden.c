@@ -19,7 +19,11 @@
  *
  * Usage: ./tracer_golden input.bin output.bin
  * Blob layout (all little-endian): int32 header
- *   [nt, km, jmt, imt, nsteps, ncon]
+ *   [nt, km, jmt, imt, nsteps, ncon, scheme, fct3d]
+ *   scheme: 0 = centered, 1 = FCT dlm1, 2 = FCT dlm2
+ *   (FCT: Zalesak flux-corrected transport, tracer_adv_flx.F:376-1005
+ *    — upstream low-order solution + direction-split limited
+ *    antidiffusive fluxes; fct3d adds the 3-D delimiter :880-977)
  * then float64 scalars [c2dtts, ah]
  * then float64 arrays in order (C row-major, shapes as noted):
  *   dxu(imt) dyu(jmt) csu(jmt) dxt2r(imt) dyt2r(jmt) dxtr(imt)
@@ -39,8 +43,9 @@
 #include <stdlib.h>
 #include <string.h>
 
-static int NT, KM, JMT, IMT, NSTEPS, NCON;
+static int NT, KM, JMT, IMT, NSTEPS, NCON, SCHEME, FCT3D;
 static double C2DTTS, AH;
+#define EPSLN 1.0e-20
 
 #define I3(k, j, i) (((size_t)(k) * JMT + (j)) * IMT + (i))
 #define I2(j, i) ((size_t)(j) * IMT + (i))
@@ -65,14 +70,317 @@ static void setbcx3(double *a, int lead) {
     }
 }
 
+/* Zalesak FCT corrected 2x-fluxes for one tracer
+ * (ops/advection.py fct_flux; tracer_adv_flx.F:376-1005).
+ * tc = tracer at tau, tb = tracer at tau-1.  dtx[k] = c2dtts*dtxcel.
+ * Outputs fe/fn/fb; the seven scratch arrays are caller-allocated n3.
+ * dlm2 selects the O_fct_dlm2 low-order-neighbor extrema. */
+static void fct_fluxes(const double *tc, const double *tb,
+                       const double *vet, const double *vnt,
+                       const double *vbt, const double *tmask,
+                       const double *dtx, const double *cstdxt2r,
+                       const double *cstdyt2r, const double *dzt2r,
+                       double *fe, double *fn, double *fb, double *tlo,
+                       double *afe, double *afn, double *afb,
+                       double *rp, double *rm, double *tmx, double *tmn,
+                       int dlm2) {
+  size_t n3 = (size_t)KM * JMT * IMT;
+  /* rp/rm each hold 3 direction slabs (x,y,z); tmx/tmn likewise */
+  double *rpx = rp, *rpy = rp + n3, *rpz = rp + 2 * n3;
+  double *rmx = rm, *rmy = rm + n3, *rmz = rm + 2 * n3;
+  double *txx = tmx, *txy = tmx + n3, *txz = tmx + 2 * n3;
+  double *tnx = tmn, *tny = tmn + n3, *tnz = tmn + 2 * n3;
+
+#define EI(i) (((i) + 1) % IMT)
+#define WI(i) (((i) - 1 + IMT) % IMT)
+#define NJ(j) (((j) + 1) % JMT)
+#define SJ(j) (((j) - 1 + JMT) % JMT)
+
+  /* low-order upstream fluxes at tau-1 into fe/fn/fb */
+  for (int k = 0; k < KM; k++)
+    for (int j = 0; j < JMT; j++)
+      for (int i = 0; i < IMT; i++) {
+        double t0 = tb[I3(k, j, i)];
+        double te = tb[I3(k, j, EI(i))], tn = tb[I3(k, NJ(j), i)];
+        double td = k + 1 < KM ? tb[I3(k + 1, j, i)] : 0.0;
+        double ve = vet[I3(k, j, i)], vn = vnt[I3(k, j, i)],
+               vb = vbt[I3(k, j, i)];
+        fe[I3(k, j, i)] = ve * (t0 + te) + fabs(ve) * (t0 - te);
+        fn[I3(k, j, i)] = vn * (t0 + tn) + fabs(vn) * (t0 - tn);
+        fb[I3(k, j, i)] =
+            k == KM - 1 ? 0.0 : vb * (td + t0) + fabs(vb) * (td - t0);
+      }
+
+  /* low-order solution t_lo */
+  for (int k = 0; k < KM; k++)
+    for (int j = 0; j < JMT; j++)
+      for (int i = 0; i < IMT; i++) {
+        double ax = (fe[I3(k, j, i)] - fe[I3(k, j, WI(i))]) *
+                    cstdxt2r[I2(j, i)];
+        double ay = (fn[I3(k, j, i)] - fn[I3(k, SJ(j), i)]) *
+                    cstdyt2r[j];
+        double fup = k > 0 ? fb[I3(k - 1, j, i)] : 0.0;
+        double az = (fup - fb[I3(k, j, i)]) * dzt2r[k];
+        tlo[I3(k, j, i)] = tb[I3(k, j, i)] -
+                           dtx[k] * (ax + ay + az) * tmask[I3(k, j, i)];
+      }
+  setbcx3(tlo, KM);
+
+  /* raw antidiffusive fluxes: centered(tau) minus low-order */
+  for (int k = 0; k < KM; k++)
+    for (int j = 0; j < JMT; j++)
+      for (int i = 0; i < IMT; i++) {
+        double t0 = tc[I3(k, j, i)];
+        double te = tc[I3(k, j, EI(i))], tn = tc[I3(k, NJ(j), i)];
+        double td = k + 1 < KM ? tc[I3(k + 1, j, i)] : 0.0;
+        afe[I3(k, j, i)] =
+            vet[I3(k, j, i)] * (t0 + te) - fe[I3(k, j, i)];
+        afn[I3(k, j, i)] =
+            vnt[I3(k, j, i)] * (t0 + tn) - fn[I3(k, j, i)];
+        afb[I3(k, j, i)] =
+            k == KM - 1 ? 0.0
+                        : vbt[I3(k, j, i)] * (t0 + td) -
+                              fb[I3(k, j, i)] * tmask[I3(k, j, i)];
+      }
+
+  /* ---- x-direction delimiter ---- */
+  for (int k = 0; k < KM; k++)
+    for (int j = 0; j < JMT; j++)
+      for (int i = 0; i < IMT; i++) {
+        double lo = tlo[I3(k, j, i)];
+        double mw = tmask[I3(k, j, WI(i))], me = tmask[I3(k, j, EI(i))];
+        double fxa, fxb;
+        if (dlm2) {
+          fxa = mw * tlo[I3(k, j, WI(i))] + (1.0 - mw) * lo;
+          fxb = me * tlo[I3(k, j, EI(i))] + (1.0 - me) * lo;
+        } else {
+          /* halfway(i) = 0.5*(t_tau(i-1)+t_tau(i)) at the west face */
+          double hw_w = 0.5 * (tc[I3(k, j, WI(i))] + tc[I3(k, j, i)]);
+          double hw_e = 0.5 * (tc[I3(k, j, i)] + tc[I3(k, j, EI(i))]);
+          fxa = mw * hw_w + (1.0 - mw) * lo;
+          fxb = me * hw_e + (1.0 - me) * lo;
+        }
+        double mx = fxa > fxb ? fxa : fxb;
+        double mn = fxa < fxb ? fxa : fxb;
+        txx[I3(k, j, i)] = mx > lo ? mx : lo;
+        tnx[I3(k, j, i)] = mn < lo ? mn : lo;
+        double aw = afe[I3(k, j, WI(i))], ac = afe[I3(k, j, i)];
+        double dcf = dtx[k] * cstdxt2r[I2(j, i)];
+        double pp = dcf * ((aw > 0 ? aw : 0) - (ac < 0 ? ac : 0));
+        double pm = dcf * ((ac > 0 ? ac : 0) - (aw < 0 ? aw : 0));
+        double qp = txx[I3(k, j, i)] - lo, qm = lo - tnx[I3(k, j, i)];
+        double m0 = tmask[I3(k, j, i)];
+        double r1 = m0 * qp / (pp + EPSLN), r2 = m0 * qm / (pm + EPSLN);
+        rpx[I3(k, j, i)] = r1 < 1.0 ? r1 : 1.0;
+        rmx[I3(k, j, i)] = r2 < 1.0 ? r2 : 1.0;
+      }
+  setbcx3(rpx, KM);
+  setbcx3(rmx, KM);
+  for (int k = 0; k < KM; k++)
+    for (int j = 0; j < JMT; j++)
+      for (int i = 0; i < IMT; i++) {
+        double cpos = rpx[I3(k, j, EI(i))] < rmx[I3(k, j, i)]
+                          ? rpx[I3(k, j, EI(i))]
+                          : rmx[I3(k, j, i)];
+        double cneg = rpx[I3(k, j, i)] < rmx[I3(k, j, EI(i))]
+                          ? rpx[I3(k, j, i)]
+                          : rmx[I3(k, j, EI(i))];
+        double a = afe[I3(k, j, i)];
+        afe[I3(k, j, i)] =
+            0.5 * ((cpos + cneg) * a + (cpos - cneg) * fabs(a));
+      }
+
+  /* ---- y-direction delimiter ---- */
+  for (int k = 0; k < KM; k++)
+    for (int j = 0; j < JMT; j++)
+      for (int i = 0; i < IMT; i++) {
+        double lo = tlo[I3(k, j, i)];
+        double ms = tmask[I3(k, SJ(j), i)], mn_ = tmask[I3(k, NJ(j), i)];
+        double fxa, fxb;
+        if (dlm2) {
+          fxa = ms * tlo[I3(k, SJ(j), i)] + (1.0 - ms) * lo;
+          fxb = mn_ * tlo[I3(k, NJ(j), i)] + (1.0 - mn_) * lo;
+        } else {
+          double hw_s = 0.5 * (tc[I3(k, SJ(j), i)] + tc[I3(k, j, i)]);
+          double hw_n = 0.5 * (tc[I3(k, j, i)] + tc[I3(k, NJ(j), i)]);
+          fxa = ms * hw_s + (1.0 - ms) * lo;
+          fxb = mn_ * hw_n + (1.0 - mn_) * lo;
+        }
+        double mx = fxa > fxb ? fxa : fxb;
+        double mn2 = fxa < fxb ? fxa : fxb;
+        txy[I3(k, j, i)] = mx > lo ? mx : lo;
+        tny[I3(k, j, i)] = mn2 < lo ? mn2 : lo;
+        double as = afn[I3(k, SJ(j), i)], ac = afn[I3(k, j, i)];
+        double dcf = dtx[k] * cstdyt2r[j];
+        double pp = dcf * ((as > 0 ? as : 0) - (ac < 0 ? ac : 0));
+        double pm = dcf * ((ac > 0 ? ac : 0) - (as < 0 ? as : 0));
+        double qp = txy[I3(k, j, i)] - lo, qm = lo - tny[I3(k, j, i)];
+        double m0 = tmask[I3(k, j, i)];
+        double r1 = m0 * qp / (pp + EPSLN), r2 = m0 * qm / (pm + EPSLN);
+        rpy[I3(k, j, i)] = r1 < 1.0 ? r1 : 1.0;
+        rmy[I3(k, j, i)] = r2 < 1.0 ? r2 : 1.0;
+      }
+  for (int k = 0; k < KM; k++)
+    for (int j = 0; j < JMT; j++)
+      for (int i = 0; i < IMT; i++) {
+        double cpos = rpy[I3(k, NJ(j), i)] < rmy[I3(k, j, i)]
+                          ? rpy[I3(k, NJ(j), i)]
+                          : rmy[I3(k, j, i)];
+        double cneg = rpy[I3(k, j, i)] < rmy[I3(k, NJ(j), i)]
+                          ? rpy[I3(k, j, i)]
+                          : rmy[I3(k, NJ(j), i)];
+        double a = afn[I3(k, j, i)];
+        afn[I3(k, j, i)] =
+            0.5 * ((cpos + cneg) * a + (cpos - cneg) * fabs(a));
+      }
+
+  /* ---- z-direction delimiter ---- */
+  for (int k = 0; k < KM; k++)
+    for (int j = 0; j < JMT; j++)
+      for (int i = 0; i < IMT; i++) {
+        double lo = tlo[I3(k, j, i)];
+        double fxa, fxb;
+        if (k == 0)
+          fxa = lo;
+        else {
+          double mu = tmask[I3(k - 1, j, i)];
+          double v = dlm2 ? tlo[I3(k - 1, j, i)]
+                          : 0.5 * (tc[I3(k - 1, j, i)] + tc[I3(k, j, i)]);
+          fxa = mu * v + (1.0 - mu) * lo;
+        }
+        if (k == KM - 1)
+          fxb = lo;
+        else {
+          double md = tmask[I3(k + 1, j, i)];
+          double v = dlm2 ? tlo[I3(k + 1, j, i)]
+                          : 0.5 * (tc[I3(k, j, i)] + tc[I3(k + 1, j, i)]);
+          fxb = md * v + (1.0 - md) * lo;
+        }
+        double mx = fxa > fxb ? fxa : fxb;
+        double mn2 = fxa < fxb ? fxa : fxb;
+        txz[I3(k, j, i)] = mx > lo ? mx : lo;
+        tnz[I3(k, j, i)] = mn2 < lo ? mn2 : lo;
+        double ac = afb[I3(k, j, i)];
+        double au = k > 0 ? afb[I3(k - 1, j, i)] : 0.0;
+        double dcf = dtx[k] * dzt2r[k];
+        double pp = dcf * ((ac > 0 ? ac : 0) - (au < 0 ? au : 0));
+        double pm = dcf * ((au > 0 ? au : 0) - (ac < 0 ? ac : 0));
+        double qp = txz[I3(k, j, i)] - lo, qm = lo - tnz[I3(k, j, i)];
+        double m0 = tmask[I3(k, j, i)];
+        double r1 = m0 * qp / (pp + EPSLN), r2 = m0 * qm / (pm + EPSLN);
+        rpz[I3(k, j, i)] = r1 < 1.0 ? r1 : 1.0;
+        rmz[I3(k, j, i)] = r2 < 1.0 ? r2 : 1.0;
+      }
+  for (int k = 0; k < KM; k++)
+    for (int j = 0; j < JMT; j++)
+      for (int i = 0; i < IMT; i++) {
+        /* face k lies between cells k (above) and k+1 (below);
+           DN() zero-pads, so the bottom face uses 0 for the k+1 cell
+           ratios — the flux there is zeroed below anyway */
+        double rpd = k + 1 < KM ? rpz[I3(k + 1, j, i)] : 0.0;
+        double rmd = k + 1 < KM ? rmz[I3(k + 1, j, i)] : 0.0;
+        double cneg = rpd < rmz[I3(k, j, i)] ? rpd : rmz[I3(k, j, i)];
+        double cpos = rpz[I3(k, j, i)] < rmd ? rpz[I3(k, j, i)] : rmd;
+        double a = afb[I3(k, j, i)];
+        afb[I3(k, j, i)] =
+            k == KM - 1
+                ? 0.0
+                : 0.5 * ((cpos + cneg) * a + (cpos - cneg) * fabs(a));
+      }
+
+  /* ---- optional 3-D delimiter (O_fct_3d) ---- */
+  if (FCT3D) {
+    for (int k = 0; k < KM; k++)
+      for (int j = 0; j < JMT; j++)
+        for (int i = 0; i < IMT; i++) {
+          double lo = tlo[I3(k, j, i)];
+          double mx = txx[I3(k, j, i)];
+          if (txy[I3(k, j, i)] > mx) mx = txy[I3(k, j, i)];
+          if (txz[I3(k, j, i)] > mx) mx = txz[I3(k, j, i)];
+          double mn2 = tnx[I3(k, j, i)];
+          if (tny[I3(k, j, i)] < mn2) mn2 = tny[I3(k, j, i)];
+          if (tnz[I3(k, j, i)] < mn2) mn2 = tnz[I3(k, j, i)];
+          double aw = afe[I3(k, j, WI(i))], ae = afe[I3(k, j, i)];
+          double as = afn[I3(k, SJ(j), i)], an = afn[I3(k, j, i)];
+          double ab = afb[I3(k, j, i)];
+          double au = k > 0 ? afb[I3(k - 1, j, i)] : 0.0;
+          double dp =
+              EPSLN +
+              dtx[k] * (cstdxt2r[I2(j, i)] *
+                            ((aw > 0 ? aw : 0) - (ae < 0 ? ae : 0)) +
+                        cstdyt2r[j] *
+                            ((as > 0 ? as : 0) - (an < 0 ? an : 0)) +
+                        dzt2r[k] * ((ab > 0 ? ab : 0) - (au < 0 ? au : 0)));
+          double dm =
+              EPSLN +
+              dtx[k] * (cstdxt2r[I2(j, i)] *
+                            ((ae > 0 ? ae : 0) - (aw < 0 ? aw : 0)) +
+                        cstdyt2r[j] *
+                            ((an > 0 ? an : 0) - (as < 0 ? as : 0)) +
+                        dzt2r[k] * ((au > 0 ? au : 0) - (ab < 0 ? ab : 0)));
+          double m0 = tmask[I3(k, j, i)];
+          double r1 = m0 * (mx - lo) / dp, r2 = m0 * (lo - mn2) / dm;
+          rpx[I3(k, j, i)] = r1 < 1.0 ? r1 : 1.0;  /* reuse as r3p */
+          rmx[I3(k, j, i)] = r2 < 1.0 ? r2 : 1.0;  /* reuse as r3m */
+        }
+    setbcx3(rpx, KM);
+    setbcx3(rmx, KM);
+    /* limit all three directions with the combined ratios; afe/afn
+       must be limited from a consistent snapshot, so first compute
+       the new values into fe-unused scratch? — the limiter reads only
+       (k,j,i)-local and neighbor RATIOS, not neighbor fluxes, so
+       in-place is safe */
+    for (int k = 0; k < KM; k++)
+      for (int j = 0; j < JMT; j++)
+        for (int i = 0; i < IMT; i++) {
+          double r3pc = rpx[I3(k, j, i)], r3mc = rmx[I3(k, j, i)];
+          double r3pe = rpx[I3(k, j, EI(i))], r3me = rmx[I3(k, j, EI(i))];
+          double cpos = r3pe < r3mc ? r3pe : r3mc;
+          double cneg = r3pc < r3me ? r3pc : r3me;
+          double a = afe[I3(k, j, i)];
+          afe[I3(k, j, i)] =
+              0.5 * ((cpos + cneg) * a + (cpos - cneg) * fabs(a));
+          double r3pn = rpx[I3(k, NJ(j), i)], r3mn = rmx[I3(k, NJ(j), i)];
+          cpos = r3pn < r3mc ? r3pn : r3mc;
+          cneg = r3pc < r3mn ? r3pc : r3mn;
+          a = afn[I3(k, j, i)];
+          afn[I3(k, j, i)] =
+              0.5 * ((cpos + cneg) * a + (cpos - cneg) * fabs(a));
+          double r3pd = k + 1 < KM ? rpx[I3(k + 1, j, i)] : 0.0;
+          double r3md = k + 1 < KM ? rmx[I3(k + 1, j, i)] : 0.0;
+          cpos = r3pc < r3md ? r3pc : r3md;
+          cneg = r3pd < r3mc ? r3pd : r3mc;
+          a = afb[I3(k, j, i)];
+          afb[I3(k, j, i)] =
+              k == KM - 1
+                  ? 0.0
+                  : 0.5 * ((cpos + cneg) * a + (cpos - cneg) * fabs(a));
+        }
+  }
+
+  /* corrected totals */
+  for (int k = 0; k < KM; k++)
+    for (int j = 0; j < JMT; j++)
+      for (int i = 0; i < IMT; i++) {
+        double m0 = tmask[I3(k, j, i)];
+        fe[I3(k, j, i)] += afe[I3(k, j, i)];
+        fn[I3(k, j, i)] = (fn[I3(k, j, i)] + afn[I3(k, j, i)]) * m0;
+        fb[I3(k, j, i)] = (fb[I3(k, j, i)] + afb[I3(k, j, i)]) * m0;
+      }
+#undef EI
+#undef WI
+#undef NJ
+#undef SJ
+}
+
 int main(int argc, char **argv) {
   if (argc < 3) { fprintf(stderr, "usage: %s in.bin out.bin\n", argv[0]); return 1; }
   FILE *f = fopen(argv[1], "rb");
   if (!f) { perror("open"); return 1; }
-  int hdr[6];
-  if (fread(hdr, sizeof(int), 6, f) != 6) return 1;
+  int hdr[8];
+  if (fread(hdr, sizeof(int), 8, f) != 8) return 1;
   NT = hdr[0]; KM = hdr[1]; JMT = hdr[2]; IMT = hdr[3];
-  NSTEPS = hdr[4]; NCON = hdr[5];
+  NSTEPS = hdr[4]; NCON = hdr[5]; SCHEME = hdr[6]; FCT3D = hdr[7];
   double sc[2];
   if (fread(sc, sizeof(double), 2, f) != 2) return 1;
   C2DTTS = sc[0]; AH = sc[1];
@@ -141,27 +449,42 @@ int main(int argc, char **argv) {
   double *ia = malloc(KM * 8), *ib = malloc(KM * 8), *ic = malloc(KM * 8),
          *iff = malloc(KM * 8), *ie = malloc(KM * 8), *iz = malloc(KM * 8);
 
+  /* FCT scratch + per-level leapfrog interval */
+  double *tlo = malloc(n3 * 8), *afe = malloc(n3 * 8),
+         *afn = malloc(n3 * 8), *afb = malloc(n3 * 8);
+  double *frp = malloc(3 * n3 * 8), *frm = malloc(3 * n3 * 8),
+         *ftmx = malloc(3 * n3 * 8), *ftmn = malloc(3 * n3 * 8);
+  double *dtx = malloc(KM * 8);
+  for (int k = 0; k < KM; k++) dtx[k] = C2DTTS * dtxcel[k];
+
   for (int step = 0; step < NSTEPS; step++) {
     for (int n = 0; n < NT; n++) {
       double *tb = tm1 + (size_t)n * n3;   /* tau-1 */
       double *tc = tau + (size_t)n * n3;   /* tau   */
       double *to = tnew + (size_t)n * n3;
 
-      /* centered 2x fluxes at tau (tracer_adv_flx.F:1007-1070) */
-      for (int k = 0; k < KM; k++)
-        for (int j = 0; j < JMT; j++)
-          for (int i = 0; i < IMT; i++) {
-            int jp = (j + 1) % JMT, ip = (i + 1) % IMT;
-            fe[I3(k, j, i)] = vet[I3(k, j, i)] *
-                              (tc[I3(k, j, i)] + tc[I3(k, j, ip)]);
-            fn[I3(k, j, i)] = vnt[I3(k, j, i)] *
-                              (tc[I3(k, j, i)] + tc[I3(k, jp, i)]);
-            double tdn = k + 1 < KM ? tc[I3(k + 1, j, i)] : 0.0;
-            fb[I3(k, j, i)] = k == KM - 1
-                                  ? 0.0
-                                  : vbt[I3(k, j, i)] *
-                                        (tc[I3(k, j, i)] + tdn);
-          }
+      if (SCHEME > 0) {
+        /* FCT dlm1/dlm2 corrected fluxes */
+        fct_fluxes(tc, tb, vet, vnt, vbt, tmask, dtx, cstdxt2r,
+                   cstdyt2r, dzt2r, fe, fn, fb, tlo, afe, afn, afb,
+                   frp, frm, ftmx, ftmn, SCHEME == 2);
+      } else {
+        /* centered 2x fluxes at tau (tracer_adv_flx.F:1007-1070) */
+        for (int k = 0; k < KM; k++)
+          for (int j = 0; j < JMT; j++)
+            for (int i = 0; i < IMT; i++) {
+              int jp = (j + 1) % JMT, ip = (i + 1) % IMT;
+              fe[I3(k, j, i)] = vet[I3(k, j, i)] *
+                                (tc[I3(k, j, i)] + tc[I3(k, j, ip)]);
+              fn[I3(k, j, i)] = vnt[I3(k, j, i)] *
+                                (tc[I3(k, j, i)] + tc[I3(k, jp, i)]);
+              double tdn = k + 1 < KM ? tc[I3(k + 1, j, i)] : 0.0;
+              fb[I3(k, j, i)] = k == KM - 1
+                                    ? 0.0
+                                    : vbt[I3(k, j, i)] *
+                                          (tc[I3(k, j, i)] + tdn);
+            }
+      }
 
       for (int k = 0; k < KM; k++)
         for (int j = 0; j < JMT; j++)

@@ -1,13 +1,16 @@
-"""Cross-language golden trajectory test.
+"""Cross-language golden trajectory tests.
 
 golden/c_golden/tracer_golden.c is an independent C implementation of
-the exact discrete tracer-step spec (tracer.F:678-916 centered scheme,
-adv_vel.F:1-253, invtri.F:1-115 fully implicit, convect.F:52-89,
-setbcx).  Both implementations consume bitwise-identical constants from
-one binary blob; after N leapfrog steps the trajectories must agree to
-accumulation-of-roundoff tolerance.  This is the closest available
-stand-in for a golden-run acceptance test (the image has no Fortran
-compiler), and the first correctness evidence that is not JAX-vs-JAX.
+the exact discrete tracer-step spec (tracer.F:678-916, adv_vel.F:1-253,
+invtri.F:1-115 fully implicit, convect.F:52-89, setbcx) for BOTH the
+centered scheme and the flagship FCT scheme (Zalesak flux-corrected
+transport, tracer_adv_flx.F:376-1005, dlm1/dlm2 delimiters + the
+O_fct_3d combined delimiter).  Both implementations consume
+bitwise-identical constants from one binary blob; after N leapfrog
+steps the trajectories must agree to accumulation-of-roundoff
+tolerance.  This is the closest available stand-in for a golden-run
+acceptance test (the image has no Fortran compiler), and correctness
+evidence that is not JAX-vs-JAX.
 """
 
 import os
@@ -38,8 +41,10 @@ def binary(tmp_path_factory):
     return str(exe)
 
 
-def test_c_golden_trajectory(binary, tmp_path):
-    nsteps, ncon = 10, 2
+SCHEME_ID = {"centered": 0, "fct": 1, "fct_dlm2": 2}
+
+
+def _run_case(binary, tmp_path, scheme, fct3d=False, nsteps=10, ncon=2):
     cfg = small_config(imt=40, jmt=34, km=8)
     m = make_ocean(cfg)
     g, bag = m.params.grid, m.g
@@ -51,11 +56,12 @@ def test_c_golden_trajectory(binary, tmp_path):
     tmask = np.asarray(m.tmask)
     umask = np.asarray(m.umask)
 
-    # stratified T + an unstable patch (decisive convection triggers),
-    # perturbed S
+    # stratified T + an unstable patch (decisive convection triggers)
+    # + a sharp front (decisive FCT limiter triggers), perturbed S
     t0 = np.zeros((nt, km, jmt, imt))
     t0[0] = (18.0 * np.exp(-np.asarray(g.zt) / 800e2))[:, None, None]
     t0[0, 0, 10:14, 8:14] = 2.0      # cold over warm -> convection
+    t0[0, :3, 18:22, 20:28] = 0.5    # sharp front -> limiter active
     t0[1] = 1e-3 * rng.normal(size=(km, jmt, imt))
     t0 *= tmask
     t0 = np.asarray(setbcx(jnp.asarray(t0), True))
@@ -112,14 +118,15 @@ def test_c_golden_trajectory(binary, tmp_path):
         yield t0          # t_tm1
         yield t0          # t_tau
 
-    blob = tmp_path / "in.bin"
+    blob = tmp_path / ("in_%s%d.bin" % (scheme, int(fct3d)))
     with open(blob, "wb") as f:
-        f.write(struct.pack("<6i", nt, km, jmt, imt, nsteps, ncon))
+        f.write(struct.pack("<8i", nt, km, jmt, imt, nsteps, ncon,
+                            SCHEME_ID[scheme], int(fct3d)))
         f.write(struct.pack("<2d", c2dtts, ah))
         for a in arrs():
             f.write(np.ascontiguousarray(a, dtype="<f8").tobytes())
 
-    out = tmp_path / "out.bin"
+    out = tmp_path / ("out_%s%d.bin" % (scheme, int(fct3d)))
     subprocess.run([binary, str(blob), str(out)], check=True)
     t_c = np.fromfile(out, dtype="<f8").reshape(nt, km, jmt, imt)
 
@@ -129,12 +136,15 @@ def test_c_golden_trajectory(binary, tmp_path):
     vet, vnt, vbt, *_ = adv_vel(jnp.asarray(u), jnp.asarray(v), bag, True)
     stf_j, btf_j = jnp.asarray(stf), jnp.asarray(btf)
     dcb_j = jnp.asarray(diff_cbt)
+    jscheme = "fct" if scheme.startswith("fct") else scheme
+    variant = "dlm2" if scheme == "fct_dlm2" else "dlm1"
 
     @jax.jit
     def step(tau, tm1):
         t_new = tracer_step(tau, tm1, vet, vnt, vbt, stf_j, btf_j, None,
                             dcb_j, m.kmt, m.tmask, bag, c2dtts,
-                            "centered", 1.0, True)
+                            jscheme, 1.0, True,
+                            fct_variant=variant, fct3d=fct3d)
         t_new = convct_ncon(t_new, m.kmt, m.eos_c, m.eos_to, m.eos_so,
                             m.dztxcl, ncon)
         return setbcx(t_new, True)
@@ -148,6 +158,32 @@ def test_c_golden_trajectory(binary, tmp_path):
     # convection fired somewhere)
     assert np.abs(t_j[0]).max() > 1.0
     assert np.abs(t_j - t0).max() > 1e-3
-    # independent implementations, identical spec: agreement to
-    # round-off accumulation over nsteps (documented in BASELINE.md)
+    return t_j, t_c, t0
+
+
+def test_c_golden_trajectory(binary, tmp_path):
+    """Centered scheme + invtri + ncon convection (original anchor)."""
+    t_j, t_c, _ = _run_case(binary, tmp_path, "centered")
     np.testing.assert_allclose(t_j, t_c, rtol=1e-9, atol=1e-12)
+
+
+def test_c_golden_fct_dlm1(binary, tmp_path):
+    """Flagship FCT (O_fct + dlm1): the configured default advection
+    (tracer_adv_flx.F:376-1005) pinned against the independent C twin."""
+    t_j, t_c, _ = _run_case(binary, tmp_path, "fct")
+    np.testing.assert_allclose(t_j, t_c, rtol=1e-9, atol=1e-12)
+
+
+def test_c_golden_fct_dlm2_3d(binary, tmp_path):
+    """FCT with the dlm2 delimiters + the O_fct_3d combined delimiter
+    (tracer_adv_flx.F:659-666, 880-977)."""
+    t_j, t_c, _ = _run_case(binary, tmp_path, "fct_dlm2", fct3d=True)
+    np.testing.assert_allclose(t_j, t_c, rtol=1e-9, atol=1e-12)
+
+
+def test_c_golden_fct_limiter_active(binary, tmp_path):
+    """Non-vacuity: the FCT trajectory must differ from centered (the
+    limiter actually clipped antidiffusive fluxes somewhere)."""
+    t_fct, _, _ = _run_case(binary, tmp_path, "fct")
+    t_cen, _, _ = _run_case(binary, tmp_path, "centered")
+    assert np.abs(t_fct - t_cen).max() > 1e-6
