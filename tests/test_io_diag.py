@@ -168,3 +168,52 @@ def test_regrid_and_extrap():
     lat_edges = np.linspace(-90, 90, 7)
     out = ftc(fine, fine_lon, fine_lat, lon_edges, lat_edges)
     assert np.allclose(out, 7.5)
+
+
+def test_stability_monitor_stabf_parity():
+    """stab.F-parity monitor: CFL percent-of-limit, grid Reynolds and
+    Peclet maxima with argmax offender locations (stab.F:74-281).
+
+    A velocity spike planted at a known cell must be found by the
+    monitor's location bookkeeping, and the CFL fraction must match the
+    hand-computed 100*|u| dt / (0.5 dx)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from uvic_tpu.config import small_config
+    from uvic_tpu.models.ocean.model import make_ocean
+    from uvic_tpu.diag.stability import StabilityMonitor
+
+    m = make_ocean(small_config(imt=40, jmt=34, km=8))
+    g = m.params.grid
+    mon = StabilityMonitor(m)
+    state = m.init_state(np.zeros((2, g.km, g.jmt, g.imt)))
+
+    # plant a zonal spike at a wet interior cell
+    umask = np.asarray(m.umask)
+    k0, j0, i0 = 2, 17, 12
+    assert umask[k0, j0, i0] == 1.0
+    u = np.zeros((2, g.km, g.jmt, g.imt))
+    u[0, k0, j0, i0] = 30.0
+    state = state.replace(u=jnp.asarray(u))
+
+    d = mon.check(state)
+    # location found (depth_km, lat, lon)
+    expect = (round(float(np.asarray(g.zt)[k0] / 1e5), 2),
+              round(float(np.asarray(g.yt)[j0]), 1),
+              round(float(np.asarray(g.xt)[i0]), 1))
+    assert d["cflu_at"] == expect, (d["cflu_at"], expect)
+    assert d["reyx_at"] == expect
+    assert d["pecx_at"] == expect
+
+    # CFL fraction matches the stab.F limit definition
+    dtmax = max(m.cfg.ocean.dtuv, m.cfg.ocean.dtts)
+    umax = 0.5 * float(np.asarray(g.csu)[j0]) \
+        * float(np.asarray(g.dxu)[i0]) / dtmax
+    assert abs(d["cflu"] - 100.0 * 30.0 / umax) < 1e-6 * d["cflu"]
+    # Reynolds = |u| dx / am
+    rey = 30.0 * float(np.asarray(g.dxu)[i0]) / m.cfg.ocean.am
+    assert abs(d["reyx"] - rey) < 1e-6 * rey
+    assert d["n_cfl_violations"] >= 0.0
+    # report line formats without error
+    line = mon.report(state)
+    assert "Re x=" in line and "viol=" in line

@@ -197,6 +197,15 @@ class IceConfig:
     cpts: int = 0                              # O_ice_cpts3/5/10: category
     #                                            count (0 = 0-layer therm.F)
     nlay: int = 4                              # enthalpy layers per category
+    # advective-CFL cap on the ice velocity entering advection
+    # (|u| <= 0.4 dx/dtatm per cell).  A GLOBAL STABILIZATION this
+    # framework adds beyond the reference (ice.F filuvice only
+    # filters): at the last Arctic rows one dtatm upstream sweep at
+    # ~1 m/s has CFL ~ 8 and unclamped drift piles ice into the polar
+    # cells until the coupled system diverges.  The EVP internal
+    # stress (sig) is intentionally computed from the UNCLAMPED
+    # velocities — the cap only protects the advection operator.
+    cfl_cap: bool = True
 
 
 @dataclass(frozen=True)
@@ -320,7 +329,7 @@ def earth_config(dtype: str = "float32", accel: float = 1.0,
             # stronger eddy thickness diffusion: flattens Southern
             # Ocean isopycnals (bounds the ACC) and carries poleward
             # eddy heat transport to the ice edge
-            athkdf=1.2e7),
+            athkdf=1.6e7),
         embm=_dc.replace(cfg.embm, seasonal=True),
         land=_dc.replace(cfg.land, enabled=True))
     return cfg

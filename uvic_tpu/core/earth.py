@@ -359,7 +359,7 @@ def earth_atm_coalbedo(grid: Grid) -> np.ndarray:
     ~60 W/m2 short and drove an over-vigorous MOC.
     aca = 0.80 - 0.115 sin^2(lat) - storm-track dip."""
     lat = np.asarray(grid.yt, dtype=float)
-    aca = (0.80 - 0.105 * np.sin(np.deg2rad(lat)) ** 2
+    aca = (0.79 - 0.085 * np.sin(np.deg2rad(lat)) ** 2
            - 0.01 * (_gauss(lat, 52.0, 12.0) + _gauss(lat, -52.0, 12.0)))
     return np.broadcast_to(aca[:, None], (grid.jmt, grid.imt)).copy()
 
@@ -378,9 +378,9 @@ def earth_atm_diff(grid: Grid):
     # near -55 C (transport-starved); the reference's A_difft fields
     # carry the same high-latitude rise
     polar = (1.0 / (1.0 + np.exp(-(np.abs(lat) - 63.0) / 5.0)))
-    dt_ = 5.0e9 * (0.9 + 1.3 * _gauss(lat, 47.0, 13.0)
+    dt_ = 5.0e9 * (0.9 + 1.5 * _gauss(lat, 47.0, 13.0)
                    + 1.8 * _gauss(lat, -52.0, 14.0)
-                   + 1.6 * polar)
+                   + 2.0 * polar)
     dq = 5.0e9 * (0.9 + 0.7 * _gauss(lat, 0.0, 11.0))
     jmt, imt = grid.jmt, grid.imt
     return (np.broadcast_to(dt_[:, None], (jmt, imt)).copy(),
@@ -491,5 +491,11 @@ def landice_fields(grid: Grid, scale: float):
         lgm |= _point_in_poly(LON, LAT, poly)
     lgm &= land
     aicel = ((lgm.astype(float) * float(scale)) >= 0.5).astype(float)
-    hicel = aicel * 2500.0e2 * float(scale)   # ~2.5 km LGM domes [cm]
+    # elevation grows CONTINUOUSLY from 0 at the 0.5 binarization
+    # crossing to the full ~2.5 km domes at scale=1 (icedata.F
+    # time-interpolates gridded hicel, so a transient run never sees a
+    # km-scale elevation step in one forcing update; the old
+    # aicel*2500e2*scale form jumped ~1.25 km at mid-deglaciation)
+    ramp = min(max((float(scale) - 0.5) / 0.5, 0.0), 1.0)
+    hicel = aicel * 2500.0e2 * ramp
     return aicel, hicel

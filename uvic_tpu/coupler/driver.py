@@ -306,8 +306,12 @@ class CoupledModel:
                 if self.filt_uvice is not None:
                     uice = self.filt_uvice(uice)
                     vice = self.filt_uvice(vice)
-                uice = jnp.clip(uice, -self.uice_cap, self.uice_cap)
-                vice = jnp.clip(vice, -self.vice_cap, self.vice_cap)
+                if self.cfg.ice.cfl_cap:
+                    # advective-CFL speed cap (config-gated global
+                    # stabilization; see IceConfig.cfl_cap — sig above
+                    # is from the unclamped velocities by design)
+                    uice = jnp.clip(uice, -self.uice_cap, self.uice_cap)
+                    vice = jnp.clip(vice, -self.vice_cap, self.vice_cap)
                 if use_cpts:
                     # advect the full thickness distribution, ridge under
                     # convergence, re-bin (adv_ridge_cpts, cpts.F:579-675)
@@ -345,7 +349,7 @@ class CoupledModel:
                 ice, atm.at[0], atm.at[1], fl["rh"], sst, frzpt,
                 solins_a, embm.aca, wspd_a, embm.elev, embm.tmsk,
                 fl["dnswr"], fl["uplwr"], fl["upsens"], fl["upltnt"],
-                fl["evap"], dts, float(self.grid.zw[0]))
+                fl["evap"], dts, float(self.grid.zw[0]), aicel=aicel)
             if use_cpts:
                 # multi-category thermodynamics over ocean cells replaces
                 # the 0-layer result; land-snow branch stays from therm.F

@@ -53,6 +53,8 @@ class Run:
         self.tavg = TavgAccumulator()
         self.audit = ConservationAudit(
             model.ocean, deterministic=deterministic_audit)
+        from ..diag.stability import StabilityMonitor
+        self.stab = StabilityMonitor(model.ocean)
         self._audit_start = None
         self._tavg_n = 0
         self._log = log or (lambda msg: None)
@@ -123,6 +125,10 @@ class Run:
                 inv = self.audit.inventories(state.ocean)
                 drift = self.audit.drift(self._audit_start, inv)
                 self._log(f"{self.tm.stamp()} conservation drift {drift}")
+                # stab.F yearly triage line: CFL/Reynolds/Peclet maxima
+                # with offender locations (O_stability_tests)
+                self._log(f"{self.tm.stamp()} "
+                          + self.stab.report(state.ocean))
                 if not all(np.isfinite(v) for v in inv.values()):
                     self.save(state, tag="restart_abort")
                     raise RuntimeError(

@@ -61,7 +61,8 @@ def _qsat_ice(t):
 def ice_thermodynamics(ice: IceState, atm_sat, atm_shum, rh, sst, frzpt,
                        solins, aca, wspd, elev, tmsk,
                        dnswr, uplwr, upsens, upltnt, evap,
-                       dts, zw1, flux_sat=None, flux_shum=None):
+                       dts, zw1, flux_sat=None, flux_shum=None,
+                       aicel=None):
     """One thermodynamic ice step (therm.F).
 
     Inputs are the EMBM flux fields at tau (modified here for the
@@ -199,6 +200,12 @@ def ice_thermodynamics(ice: IceState, atm_sat, atm_shum, rh, sst, frzpt,
 
     # ---------------- land branch (snow on land, therm.F:110-245) ------
     as_l = jnp.clip(hsno2 / 1000.0, 0.0, 1.0)  # snow-masking fraction
+    if aicel is not None:
+        # paleo continental ice sheets force full snow coverage
+        # (therm.F:134 aice3 = max(aice3, aicel)): the ice-sheet
+        # surface runs the snow thermodynamics/sublimation branch, not
+        # the bare-land one
+        as_l = jnp.maximum(as_l, jnp.where(aicel > 0.5, 1.0, 0.0))
     fls = fe * C.DALT_I * wspd
     qair_l = rh * C.CSSH * jnp.exp(17.67 * tair_l / (tair_l + 243.5))
 

@@ -337,7 +337,12 @@ def triffid_update(state: LandState, lmask, gamma, forw=0.0):
         f = frac_l[n] + d
         lo = f < FRAC_MIN
         hi = f > space
-        f = jnp.clip(f, FRAC_MIN, jnp.maximum(space, FRAC_MIN))
+        # lower seed floor first, then the space ceiling LAST
+        # (COMPETE sets FRAC=SPACE even when space < FRAC_MIN,
+        # lotka.F upper branch — the ceiling wins so the PFT sum can
+        # never exceed 1 - nosoil in nearly full cells)
+        f = jnp.minimum(jnp.maximum(f, FRAC_MIN),
+                        jnp.maximum(space, 0.0))
         d = jnp.where(lo | hi, f - frac_l[n], d)
         frac_l[n] = f
         dfrac[n] = d
@@ -370,7 +375,9 @@ def triffid_update(state: LandState, lmask, gamma, forw=0.0):
         # dominant claims space first
         fN_old = sel(frac_l[iN], frac_l[iM])
         fN = fN_old + dN
-        fN_cl = jnp.clip(fN, FRAC_MIN, jnp.maximum(space, FRAC_MIN))
+        # seed floor, then space ceiling last (see clip_and_claim)
+        fN_cl = jnp.minimum(jnp.maximum(fN, FRAC_MIN),
+                            jnp.maximum(space, 0.0))
         dN = jnp.where((fN < FRAC_MIN) | (fN > space), fN_cl - fN_old,
                        dN)
         space = space - fN_cl + FRAC_MIN
@@ -378,7 +385,8 @@ def triffid_update(state: LandState, lmask, gamma, forw=0.0):
         dM = (r2 - q2 * dN) / jnp.maximum(p2, DENOM_MIN)
         fM_old = sel(frac_l[iM], frac_l[iN])
         fM = fM_old + dM
-        fM_cl = jnp.clip(fM, FRAC_MIN, jnp.maximum(space, FRAC_MIN))
+        fM_cl = jnp.minimum(jnp.maximum(fM, FRAC_MIN),
+                            jnp.maximum(space, 0.0))
         dM = jnp.where((fM < FRAC_MIN) | (fM > space), fM_cl - fM_old,
                        dM)
         space = space - fM_cl + FRAC_MIN

@@ -34,14 +34,57 @@ from .halo import (BAG_AXES, ExtendedStatics, crop, crop_window,
 class ShardedOceanStep:
     """Wraps an OceanModel with an explicit-halo shard_map step.
 
-    Supports the flagship configuration: streamfunction barotropic
-    mode, const/bryan_lewis vertical mixing (+tidal_kv), const/aniso/
-    smagnl/biharmonic horizontal mixing, isopycnal/GM, any tracer
-    advection scheme.  Surface-pressure modes and ppmix fall back to
-    the GSPMD path.
+    Support matrix (the asserts below are authoritative):
+
+    | concern            | shard_map path        | GSPMD fallback    |
+    |--------------------|-----------------------|-------------------|
+    | barotropic         | streamfunction        | sp/ifs modes      |
+    | vmix               | const / bryan_lewis   | ppmix             |
+    |                    | (+tidal_kv)           |                   |
+    | hmix               | const / aniso /       | smagnl            |
+    |                    | biharmonic            |                   |
+    | tracer advection   | centered/upstream/FCT | quicker           |
+    | isopycnal/GM       | yes                   | yes               |
+    | domain             | cyclic only           | any               |
+
+    ``halo=None`` derives the width from the configured stencil depth
+    (see required_halo).
     """
 
-    def __init__(self, model, mesh, halo: int = 10):
+    @staticmethod
+    def required_halo(cfg) -> int:
+        """Halo width from the configured stencil composition depth —
+        the size.h:80-100 jmw law recast for one aggregated exchange
+        per FULL step (the reference's window covers one kernel at a
+        time; here every kernel between exchanges consumes stencil
+        cells from the same padded block, so depths ADD):
+
+          full_velocity(ext-mode diag diff)          1
+          adv_vel (vet/vnt -> vbt -> veu/vnu/vbu)    2
+          advective flux + divergence                2  (FCT: +2 for
+                                                        the low-order
+                                                        solution feeding
+                                                        the delimiters)
+          isopycnal slopes -> isoflux divergence     2  (when enabled)
+          clinic grad_p/metric/diffusion             2
+          biharmonic del^2 o del^2                   +2 (when enabled)
+
+        The sums below are conservative per-configuration totals,
+        asserted against the hand-validated defaults in
+        tests/test_shardmap_step.py.
+        """
+        w = 1 + 2 + 2 + 2          # velocity/adv_vel/flux/clinic chain
+        if cfg.tracer_advection == "fct":
+            w += 2                 # low-order solution pre-pass
+        if cfg.isopycmix:
+            w += 2                 # slope quadruples + isoflux
+        if cfg.hmix == "biharmonic":
+            w += 2                 # second Laplacian pass
+        return w
+
+    def __init__(self, model, mesh, halo: int | None = None):
+        if halo is None:
+            halo = self.required_halo(model.cfg.ocean)
         cfg = model.cfg.ocean
         assert not model.sp_mode, "shard_map path: streamfunction only"
         assert cfg.vmix != "ppmix", "shard_map path: const/BL vmix only"
