@@ -328,8 +328,10 @@ def earth_config(dtype: str = "float32", accel: float = 1.0,
             aniso_zonal=True, dtxcel_deep=float(accel),
             # stronger eddy thickness diffusion: flattens Southern
             # Ocean isopycnals (bounds the ACC) and carries poleward
-            # eddy heat transport to the ice edge
-            athkdf=1.6e7),
+            # eddy heat transport to the ice edge.  1.6e7 blew up a
+            # spun-up state after ~8 years (GM eddy velocity over the
+            # accelerated deep advective CFL); 1.2e7 is stable
+            athkdf=1.2e7),
         embm=_dc.replace(cfg.embm, seasonal=True),
         land=_dc.replace(cfg.land, enabled=True))
     return cfg

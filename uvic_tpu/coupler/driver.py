@@ -464,6 +464,8 @@ class CoupledModel:
             wspd=dts * wspd_a,
             toa_sw=dts * asw,
             olr=dts * fl["outlwr"],
+            precip=dts * precip,
+            psno=dts * psno,
             time=dts,
         )
         if self.cfg.ocean.convect_brine and "brine_open" in oadj:
@@ -634,7 +636,7 @@ class CoupledModel:
         # ---- atm/ice substeps as one scan (embm.F:39-95) -------------
         z2 = jnp.zeros_like(sst)
         acc0 = dict(heat=z2, freshwater=z2, taux=z2, tauy=z2, swr=z2,
-                    wspd=z2, toa_sw=z2, olr=z2,
+                    wspd=z2, toa_sw=z2, olr=z2, precip=z2, psno=z2,
                     time=jnp.zeros((), sst.dtype))
         if self.cfg.ocean.convect_brine and self.cfg.ice.enabled:
             acc0["cbf"] = jnp.zeros((2,) + sst.shape, sst.dtype)
@@ -674,9 +676,19 @@ class CoupledModel:
             from ..models.land.mtlm import mtlm_physics_step, triffid_update
             rh_mean = jnp.clip(atm.at[1] / (3.8011e-3 * jnp.exp(
                 17.67 * atm.at[0] / (atm.at[0] + 243.5))), 0.0, 1.0)
+            # acc["time"] is the leapfrog-weighted interval sum (the
+            # sum_flux normalizer); the prognostic update integrates
+            # over the PHYSICAL segment duration
+            seg_phys = self.cfg.time.segtim_days * 86400.0
             land, lflux = mtlm_physics_step(
                 land, self.embm.lmsk, atm.at[0], atm.at[1], swr_mean,
-                rh_mean, atm.soilm / 15.0, co2_ppm=sc["co2ccn"])
+                rh_mean, atm.soilm / 15.0, co2_ppm=sc["co2ccn"],
+                # hydrology forcing (mtlm_state.F/penmon.F): segment
+                # means, cgs -> SI (g/cm^2/s -> kg/m^2/s, cm/s -> m/s)
+                precip=acc["precip"] / acc["time"] * 10.0,
+                psno=acc["psno"] / acc["time"] * 10.0,
+                wspd=acc["wspd"] / acc["time"] * 0.01,
+                dt=seg_phys)
             # land carbon flux into the global CO2 budget (gasbc.F
             # O_carbon): per-segment diagnostic, applied by `run`
             # when carbon_co2 is interactive

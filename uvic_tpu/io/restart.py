@@ -50,8 +50,15 @@ def load_restart(path: str, template: Any, time_manager=None):
         for pth, leaf in leaves:
             key = "/".join(str(getattr(p, "name", getattr(p, "idx", p)))
                            for p in pth)
-            arr = data[key]
-            new_leaves.append(jnp.asarray(arr, dtype=leaf.dtype))
+            if key in data:
+                arr = data[key]
+                new_leaves.append(jnp.asarray(arr, dtype=leaf.dtype))
+            else:
+                # forward compatibility: a restart written before a
+                # state field existed keeps the template's initial
+                # value (the reference reads old restarts the same
+                # way — new prognostics spin up from their ICs)
+                new_leaves.append(leaf)
         state = jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(template), new_leaves)
         if time_manager is not None and "__itt" in data:

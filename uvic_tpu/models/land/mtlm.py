@@ -72,6 +72,27 @@ EPCO2 = 1.5194      # ratio molecular weights co2/air
 EPO2 = 1.106
 O2_FRAC = 0.23
 
+# soil / surface-exchange constants (mtlm.F:152-156, common/mtlm.h:101)
+ROOTDEP = 1.0        # soil layer / root depth [m]
+HCAP_SOIL = 3.3e5    # soil heat capacity [J/m3/K]
+HCON_SOIL = 0.75     # soil heat conductivity [W/m/K]
+VSAT = 0.458         # volumetric moisture at saturation
+V_CRIT = 0.34        # above which stomata unstressed
+VWILT = 0.13         # below which stomata fully closed
+MSAT = 1000.0 * ROOTDEP * VSAT   # saturated column moisture [kg/m2]
+SATCON = 0.0005      # saturated hydraulic conductivity KS [kg/m2/s]
+CLAPP_B = 6.6        # Clapp-Hornberger exponent (mtlm_state.F:70)
+Z1_REF = 10.0        # reference height [m]
+Z0_SOIL = 0.0003     # bare-soil roughness [m]
+RSS = 100.0          # bare-soil surface resistance [s/m]
+R_GAS = 287.05
+CP_AIR = 1005.0
+KARMAN_SQ = 0.16
+SIGMA_SB = 5.67e-8
+LC_W = 2.501e6       # latent heat of condensation [J/kg]
+LF_W = 0.334e6       # latent heat of fusion [J/kg]
+EPS_W = 0.62198      # ratio molecular weights water/air
+
 
 @struct.dataclass
 class LandState:
@@ -91,6 +112,16 @@ class LandState:
     # accumulators) — the EMBM land surface solve consumes it as the
     # stomatal resistance (fluxes.F land branch)
     gc: jnp.ndarray = None
+    # MTLM hydrology prognostics (mtlm_state.F): soil moisture column
+    # [kg/m2], negative-moisture conservation tracker, lying snow
+    # [kg/m2].  These drive fsmc / soil respiration / snow masking;
+    # the EMBM's own land bucket (atm.soilm) remains the reservoir
+    # that closes the global water budget (documented divergence from
+    # glsbc.F's full replacement — both are driven by the same
+    # precip/evap fluxes)
+    m_soil: jnp.ndarray = None
+    mneg: jnp.ndarray = None
+    lying_snow: jnp.ndarray = None
 
 
 def init_land_state(jmt, imt, lmask, dtype):
@@ -115,7 +146,89 @@ def init_land_state(jmt, imt, lmask, dtype):
         resp_s_acc=jnp.asarray(z, dtype),
         nacc=jnp.zeros((), jnp.int32),
         gc=jnp.zeros((jmt, imt), dtype),
+        m_soil=jnp.asarray(0.5 * MSAT * lmask, dtype),
+        mneg=jnp.asarray(z, dtype),
+        lying_snow=jnp.asarray(z, dtype),
     )
+
+
+def penman_monteith(rs, z0, lw_down, swn, pstar, q1, t1_k, ts1_k,
+                    wind, lying_snow):
+    """Aggregate-tile Penman-Monteith surface exchange (penmon.F:1-165).
+
+    All SI: fluxes W/m^2, E kg/m^2/s.  ``rs`` surface resistance [s/m]
+    (1/gc for the vegetated tile, RSS/fsmc for bare soil), ``z0``
+    roughness [m], ``lw_down`` downward longwave, ``swn`` net absorbed
+    shortwave, ``wind`` [m/s].  One aggregate tile instead of the
+    reference's per-PFT tiles (sf fluxes aggregate through the
+    frac-weighted rs the caller supplies).
+    Returns dict(E, LE, SH, G, TSTAR, LW_OUT, RADNET)."""
+    as1 = 2.0 * HCON_SOIL / ROOTDEP
+    rhostar = pstar / (R_GAS * t1_k)
+    qs1 = EPS_W * 610.78 * jnp.exp(
+        17.27 * (t1_k - ZERODEGC) / (t1_k - ZERODEGC + 237.3)) / pstar
+    lat = jnp.where(lying_snow > 50.0, LC_W + LF_W, LC_W)
+    dqs_dt = EPS_W * lat * qs1 / (R_GAS * t1_k ** 2)
+    dq1 = qs1 - q1
+    ahat = swn + lw_down - SIGMA_SB * t1_k ** 4 - as1 * (t1_k - ts1_k)
+    zetam = jnp.log((Z1_REF + z0) / z0)
+    zetah = jnp.log((Z1_REF + z0) / (0.1 * z0))
+    chn = KARMAN_SQ / (zetah * zetam)
+    ra = 1.0 / (chn * jnp.maximum(wind, 0.1))
+    resf = 1.0 / (1.0 + rs / ra)
+    dum = rhostar * CP_AIR / ra + 4.0 * SIGMA_SB * t1_k ** 3 + as1
+    numer = (dqs_dt * ahat + dum * dq1) * resf
+    denom = resf * lat * dqs_dt + ra * dum / rhostar
+    e = numer / denom
+    le = lat * e
+    tstar = t1_k + (ahat - lat * rhostar * dq1 * resf / ra) \
+        / (dum + dqs_dt * lat * rhostar * resf / ra)
+    sh = rhostar * CP_AIR / ra * (tstar - t1_k)
+    lw_out = lw_down - SIGMA_SB * tstar ** 4
+    radnet = swn + lw_out
+    g = radnet - le - sh
+    return dict(E=e, LE=le, SH=sh, G=g, TSTAR=tstar, LW_OUT=lw_out,
+                RADNET=radnet)
+
+
+def mtlm_state_update(tsoil, m_soil, mneg, lying_snow, g_flux, rain,
+                      snow, e, esub, dt):
+    """Land prognostic update (mtlm_state.F:74-121): soil temperature
+    from the ground heat flux, snowmelt diagnosis with the
+    available-snow limiter, lying-snow update with the negative-snow
+    fix, Clapp-Hornberger drainage runoff, soil-moisture update with
+    the MNEG conservation tracker.  All SI (kg/m2, K, W/m2, s).
+    Returns (tsoil, m_soil, mneg, lying_snow, runoff, snowmelt, e,
+    esub)."""
+    hc_dz = ROOTDEP * HCAP_SOIL
+    tm = ZERODEGC
+    ts1 = tsoil + dt * g_flux / hc_dz
+    # snowmelt limited by available snow (fixes ts1 back when limited)
+    melt_cap = snow - esub + lying_snow / dt
+    melt_raw = hc_dz * (ts1 - tm) / (LF_W * dt)
+    snowy = (lying_snow > 0.0) & (ts1 > tm)
+    limited = melt_raw > melt_cap
+    snowmelt = jnp.where(snowy,
+                         jnp.where(limited, melt_cap, melt_raw), 0.0)
+    ts1 = jnp.where(snowy,
+                    jnp.where(limited,
+                              ts1 - snowmelt * LF_W * dt / hc_dz, tm),
+                    ts1)
+    lying = lying_snow + dt * (snow - esub - snowmelt)
+    # negative snow -> convert the excess sublimation to evaporation
+    neg = lying < 0.0
+    esub = jnp.where(neg, esub + lying / dt, esub)
+    e = jnp.where(neg, e - lying / dt, e)
+    ts1 = jnp.where(neg, ts1 + LF_W * lying / hc_dz, ts1)
+    lying = jnp.maximum(lying, 0.0)
+    # drainage runoff + moisture update (Clapp-Hornberger)
+    runoff = SATCON * jnp.clip(m_soil / MSAT, 0.0, 1.5) \
+        ** (2.0 * CLAPP_B + 3.0)
+    m = m_soil + dt * (rain + snowmelt - e - runoff)
+    tot = m + mneg
+    m_new = jnp.where(tot < 0.0, 0.0, tot)
+    mneg_new = jnp.where(tot < 0.0, mneg + m, 0.0)
+    return (ts1, m_new, mneg_new, lying, runoff, snowmelt, e, esub)
 
 
 def leaf_photosynthesis(n, dq, apar, tl_k, ca, oa, pstar, fsmc):
@@ -437,17 +550,28 @@ def triffid_update(state: LandState, lmask, gamma, forw=0.0):
 
 
 def mtlm_physics_step(state: LandState, lmask, sat_c, shum, swr, rh,
-                      soilm_frac, co2_ppm=280.0, pstar=1.0e5):
+                      soilm_frac, co2_ppm=280.0, pstar=1.0e5,
+                      precip=None, psno=None, wspd=None, dt=None):
     """Per-coupling-step land physics (mtlm.F driver): photosynthesis,
-    respiration, accumulation for TRIFFID. sat_c in degC, swr in
-    erg/cm^2/s (converted to W/m2 PAR internally).
+    respiration, accumulation for TRIFFID; when the hydrology forcing
+    (precip/psno [kg/m2/s], wspd [m/s], dt [s]) is given, also the
+    Penman-Monteith surface exchange (penmon.F) and the prognostic
+    snow / soil-moisture / soil-temperature update (mtlm_state.F).
+    sat_c in degC, swr in erg/cm^2/s.
     Returns (new_state, fluxes) with nep [kg C/m2/s] (+ = land uptake)
     and canopy conductance diagnostics."""
     tstar_k = sat_c + ZERODEGC
     ipar = jnp.maximum(swr, 0.0) * 1e-3 * 0.5    # W/m2 -> PAR fraction
     qs = 3.8011e-3 * jnp.exp(17.67 * sat_c / (sat_c + 243.5))
     dq = jnp.maximum(qs * (1.0 - rh), 0.0)
-    fsmc = jnp.clip(soilm_frac, 0.0, 1.0)
+    hydrology = precip is not None and dt is not None
+    if hydrology and state.m_soil is not None:
+        # MOSES soil-moisture stress from the prognostic column
+        # (mtlm.F:223-229: (V_ROOT - VWILT)/(V_CRIT - VWILT))
+        v_root = state.m_soil / (1000.0 * ROOTDEP)
+        fsmc = jnp.clip((v_root - VWILT) / (V_CRIT - VWILT), 0.0, 1.0)
+    else:
+        fsmc = jnp.clip(soilm_frac, 0.0, 1.0)
 
     nep = jnp.zeros_like(sat_c)
     gc_eff = jnp.zeros_like(sat_c)
@@ -468,17 +592,55 @@ def mtlm_physics_step(state: LandState, lmask, sat_c, shum, swr, rh,
     # bare-soil conductance for the non-vegetated fraction (sf_evap.F
     # soil evaporation resistance analog)
     gc_eff = gc_eff + state.frac[NPFT] * 1.0e-3 * fsmc
-    resp_s = soil_respiration(state.cs, tstar_k, 0.3 + 0.6 * fsmc)
+    # soil respiration at the PROGNOSTIC soil temperature when the
+    # hydrology runs (microbe.F uses TSOIL, not surface air T)
+    t_resp = state.tsoil if hydrology and state.m_soil is not None \
+        else tstar_k
+    resp_s = soil_respiration(state.cs, t_resp, 0.3 + 0.6 * fsmc)
     nep = nep - resp_s
 
-    new = state.replace(
+    updates = dict(
         npp_acc=state.npp_acc + jnp.stack(npp_pft) * lmask[None],
         gleaf_acc=state.gleaf_acc + jnp.stack(gleaf_pft) * lmask[None],
         resp_w_acc=state.resp_w_acc + jnp.stack(respw_pft) * lmask[None],
         resp_s_acc=state.resp_s_acc + resp_s * 360.0 * 86400.0 * lmask,
-        tsoil=0.99 * state.tsoil + 0.01 * tstar_k,
         nacc=state.nacc + 1,
         gc=gc_eff * lmask,
     )
-    return new, dict(nep=nep * lmask, resp_s=resp_s * lmask,
-                     gc=gc_eff * lmask)
+    flx = dict(nep=nep * lmask, resp_s=resp_s * lmask,
+               gc=gc_eff * lmask)
+
+    if hydrology and state.m_soil is not None:
+        # ---- Penman-Monteith surface exchange (penmon.F) -------------
+        rs = jnp.clip(1.0 / jnp.maximum(gc_eff, 1e-6), 0.0, 1.0e4)
+        # snow > 50 kg/m2 behaves as a saturated surface (mtlm.F:255)
+        rs = jnp.where(state.lying_snow > 50.0, 0.0, rs)
+        ht_mean = jnp.sum(state.frac[:NPFT] * state.ht, axis=0)
+        z0 = jnp.maximum(0.05 * ht_mean, Z0_SOIL)
+        swn = jnp.maximum(swr, 0.0) * 1e-3          # erg -> W/m2
+        lw_down = 4.6e-5 * 1e-3 * tstar_k ** 4      # ESATM, cgs->SI
+        pm = penman_monteith(rs, z0, lw_down, swn, pstar, shum,
+                             tstar_k, state.tsoil, wspd,
+                             state.lying_snow)
+        e_tot = jnp.maximum(pm["E"], 0.0)
+        snowy = state.lying_snow > 0.0
+        esub = jnp.where(snowy, e_tot, 0.0)
+        e_soil = jnp.where(snowy, 0.0, e_tot)
+        snow_in = psno if psno is not None else jnp.zeros_like(precip)
+        rain_in = jnp.maximum(precip - snow_in, 0.0)
+        ts1, m_new, mneg_new, lying, runoff, snowmelt, e_soil, esub = \
+            mtlm_state_update(state.tsoil, state.m_soil, state.mneg,
+                              state.lying_snow, pm["G"], rain_in,
+                              snow_in, e_soil, esub, dt)
+        updates.update(
+            tsoil=jnp.where(lmask > 0, ts1, state.tsoil),
+            m_soil=jnp.where(lmask > 0, m_new, state.m_soil),
+            mneg=jnp.where(lmask > 0, mneg_new, state.mneg),
+            lying_snow=jnp.where(lmask > 0, lying, state.lying_snow))
+        flx.update(evap_land=e_tot * lmask, runoff_land=runoff * lmask,
+                   snowmelt=snowmelt * lmask, tstar=pm["TSTAR"],
+                   gflux=pm["G"] * lmask)
+    else:
+        updates["tsoil"] = 0.99 * state.tsoil + 0.01 * tstar_k
+
+    return state.replace(**updates), flx
