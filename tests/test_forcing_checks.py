@@ -188,3 +188,54 @@ def test_run_restoring_pulls_toward_climatology():
     err_after = np.abs(np.asarray(state.t[0, 0]) - clim0)[wet].mean()
     assert err_after < 0.7 * err_before, (err_before, err_after)
     assert not bool(jnp.isnan(state.t).any())
+
+
+def test_checks_new_rules():
+    """Round-4 checks.F breadth: scheme variants, ice, cadence
+    rounding, tidal_kv inertness, parallel halo law."""
+    import dataclasses
+    import pytest
+    from uvic_tpu.checks import ConfigError, validate
+    from uvic_tpu.config import ModelConfig
+
+    cfg = ModelConfig()
+
+    def o(**kw):
+        return cfg.replace(ocean=dataclasses.replace(cfg.ocean, **kw))
+
+    with pytest.raises(ConfigError, match="fct_variant"):
+        validate(o(fct_variant="bogus"))
+    with pytest.raises(ConfigError, match="O_fct_3d"):
+        validate(o(tracer_advection="centered", fct_3d=True))
+    with pytest.raises(ConfigError, match="sf_npt"):
+        validate(o(sf_npt=7))
+    with pytest.raises(ConfigError, match="aidif"):
+        validate(o(aidif=1.5))
+    with pytest.raises(ConfigError, match="dtxcel"):
+        validate(o(dtxcel_deep=0.5))
+    with pytest.raises(ConfigError, match="cpts"):
+        validate(cfg.replace(ice=dataclasses.replace(cfg.ice, cpts=4)))
+
+    # tidal_kv without isopycmix is flagged INERT
+    w = validate(o(tidal_kv=True, isopycmix=False,
+                   gent_mcwilliams=False))
+    assert any("INERT" in s for s in w)
+    # accel warning
+    w = validate(o(dtxcel_deep=3.0))
+    assert any("distorts transients" in s for s in w)
+    # segtim/dtatm divisibility is fatal (ntspas rounding drift)
+    with pytest.raises(ConfigError, match="dtatm"):
+        validate(cfg.replace(embm=dataclasses.replace(
+            cfg.embm, dtatm=50000.0)))
+    # cadence rounding warning
+    w = validate(cfg.replace(time=dataclasses.replace(
+        cfg.time, tsiint=7.0)))
+    assert any("tsiint" in s for s in w)
+
+    # parallel halo law: a y-split too fine for the stencil halo fails
+    with pytest.raises(ConfigError, match="halo"):
+        validate(cfg.replace(parallel=dataclasses.replace(
+            cfg.parallel, mesh_shape=(16, 1))))
+    # a sane mesh passes
+    validate(cfg.replace(parallel=dataclasses.replace(
+        cfg.parallel, mesh_shape=(2, 2))))

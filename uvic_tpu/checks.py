@@ -135,6 +135,105 @@ def validate(cfg: ModelConfig) -> List[str]:
         errors.append("O_full_tensor requires O_isopycmix "
                       "(isopyc.F:110-114)")
 
+    # --- scheme variants (checks.F:55-140 continued) -------------------
+    if o.tracer_advection == "fct" and o.fct_variant not in ("dlm1",
+                                                             "dlm2"):
+        errors.append(f"unknown fct_variant '{o.fct_variant}' "
+                      "(O_fct_dlm1 | O_fct_dlm2)")
+    if o.fct_3d and o.tracer_advection != "fct":
+        errors.append("O_fct_3d requires the FCT scheme")
+    if o.sf_npt not in (5, 9):
+        errors.append("sf_npt must be 5 or 9 (O_sf_5_point/O_sf_9_point)")
+    if o.barotropic not in ("stream_function", "surface_pressure",
+                            "implicit_free_surface"):
+        errors.append(f"unknown barotropic mode '{o.barotropic}'")
+    if o.hlat_filter not in ("fir", "fourier"):
+        errors.append(f"unknown hlat_filter '{o.hlat_filter}' "
+                      "(O_firfil | O_fourfil)")
+    if not 0.0 <= o.aidif <= 1.0:
+        errors.append("aidif must be in [0, 1] (checks.F aidif rule)")
+    if o.tidal_kv and not o.isopycmix:
+        warnings.append(
+            "O_tidal_kv without O_isopycmix is INERT: the tidal "
+            "diffusivity needs the isopycnal density gradients "
+            "(vmixc.F updates/08 runs inside the isopyc branch)")
+    if o.convection not in ("ncon", "full"):
+        errors.append(f"unknown convection scheme '{o.convection}'")
+    if o.ncon < 1:
+        errors.append("ncon must be >= 1 (convect.F pass count)")
+    if o.dtxcel_deep < 1.0:
+        errors.append("dtxcel_deep must be >= 1 (accel.h acceleration)")
+    elif o.dtxcel_deep > 1.0:
+        warnings.append(
+            "tracer acceleration dtxcel_deep > 1 distorts transients "
+            "(exact only at equilibrium, Bryan 1984) — spinup use only")
+
+    # --- ice (chkcpl ice rules) ----------------------------------------
+    ic = cfg.ice
+    if ic.enabled:
+        if ic.cpts not in (0, 3, 5, 10):
+            errors.append("ice.cpts must be 0/3/5/10 (O_ice_cpts*)")
+        if ic.evp and ic.ndte < 1:
+            errors.append("EVP needs ndte >= 1 subcycles (evp.F:36)")
+        if ic.niats < 1:
+            errors.append("ice advection needs niats >= 1 (iceadv.F)")
+
+    # --- atmosphere cadence (chkcpl, UVic_ESCM.F:530-600) --------------
+    e = cfg.embm
+    if e.enabled:
+        if e.dtatm <= 0:
+            errors.append("dtatm must be > 0")
+        if e.namix < 1:
+            errors.append("namix must be >= 1 (embm.F mixing cadence)")
+        # (segtim/dtatm divisibility is the FATAL rule above: the
+        # ntspas rounding drift would skew the coupler clock)
+        if e.solver_maxiter < 1:
+            errors.append("embm solver_maxiter must be >= 1")
+
+    # --- ocean/barotropic timestep relations (chkcpl) ------------------
+    if o.dtuv > 0 and o.dtsf > 0 and abs(o.dtsf - o.dtuv) > 1e-9 \
+            and o.barotropic == "stream_function":
+        warnings.append("dtsf != dtuv with the streamfunction mode: "
+                        "the reference runs them equal (control.in)")
+    if o.dtts > 0 and o.dtuv > 0:
+        r = o.dtts / o.dtuv
+        if abs(r - round(r)) > 1e-6:
+            warnings.append("dtts is not a whole multiple of dtuv: "
+                            "split stepping assumes an integer ratio")
+
+    # --- output cadences round to whole segments (switch.F alarms) -----
+    for name, iv in (("tsiint", cfg.time.tsiint),
+                     ("timavgint", cfg.time.timavgint),
+                     ("restint", cfg.time.restint)):
+        if iv > 0 and cfg.time.segtim_days > 0:
+            r = iv / cfg.time.segtim_days
+            if abs(r - round(r)) > 1e-6:
+                warnings.append(
+                    f"{name} ({iv} d) is not a whole number of "
+                    f"segments; the alarm fires on the next segment "
+                    f"boundary (switch.F avg_alarm rounding)")
+
+    # --- parallel: mesh divisibility + the halo law (size.h:80-100) ----
+    p = cfg.parallel
+    if p.mesh_shape != (1, 1):
+        ny, nx = p.mesh_shape
+        if ny < 1 or nx < 1:
+            errors.append("mesh_shape entries must be >= 1")
+        else:
+            from .parallel.shard_step import ShardedOceanStep
+            need = ShardedOceanStep.required_halo(o)
+            ly = -(-g.jmt // ny)
+            lx = -(-g.imt // nx)
+            if ny > 1 and need > ly:
+                errors.append(
+                    f"mesh y={ny}: local rows {ly} < required halo "
+                    f"{need} for this scheme combination (size.h jmw "
+                    f"law) — coarsen the mesh or simplify the schemes")
+            if nx > 1 and need + 2 + (lx * nx - g.imt) > lx:
+                errors.append(
+                    f"mesh x={nx}: local columns {lx} cannot hold halo "
+                    f"{need} + ghost columns (size.h jmw law)")
+
     # --- precision ------------------------------------------------------
     if cfg.dtype not in ("float32", "float64"):
         errors.append(f"dtype must be float32/float64, got {cfg.dtype}")

@@ -359,7 +359,7 @@ def earth_atm_coalbedo(grid: Grid) -> np.ndarray:
     ~60 W/m2 short and drove an over-vigorous MOC.
     aca = 0.80 - 0.115 sin^2(lat) - storm-track dip."""
     lat = np.asarray(grid.yt, dtype=float)
-    aca = (0.79 - 0.085 * np.sin(np.deg2rad(lat)) ** 2
+    aca = (0.796 - 0.085 * np.sin(np.deg2rad(lat)) ** 2
            - 0.01 * (_gauss(lat, 52.0, 12.0) + _gauss(lat, -52.0, 12.0)))
     return np.broadcast_to(aca[:, None], (grid.jmt, grid.imt)).copy()
 

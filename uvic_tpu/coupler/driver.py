@@ -466,6 +466,11 @@ class CoupledModel:
             olr=dts * fl["outlwr"],
             precip=dts * precip,
             psno=dts * psno,
+            evap=dts * evap,
+            runoff=dts * runoff,
+            uplwr=dts * uplwr,
+            upsens=dts * upsens,
+            upltnt=dts * upltnt,
             time=dts,
         )
         if self.cfg.ocean.convect_brine and "brine_open" in oadj:
@@ -591,7 +596,8 @@ class CoupledModel:
         # per-step time means for the tavg stream (tracer.F:420-443
         # in-step accumulation fidelity; Run consumes these instead of
         # per-segment snapshots)
-        self.last_tavg = {**diag["tavg_ocean"], **diag["tavg_atm"]}
+        self.last_tavg = {**diag["tavg_ocean"], **diag["tavg_atm"],
+                          **diag.get("tavg_land", {})}
         if "nep" in diag:
             self.last_nep_kgC_s = diag["nep"]
         return state
@@ -637,6 +643,7 @@ class CoupledModel:
         z2 = jnp.zeros_like(sst)
         acc0 = dict(heat=z2, freshwater=z2, taux=z2, tauy=z2, swr=z2,
                     wspd=z2, toa_sw=z2, olr=z2, precip=z2, psno=z2,
+                    evap=z2, runoff=z2, uplwr=z2, upsens=z2, upltnt=z2,
                     time=jnp.zeros((), sst.dtype))
         if self.cfg.ocean.convect_brine and self.cfg.ice.enabled:
             acc0["cbf"] = jnp.zeros((2,) + sst.shape, sst.dtype)
@@ -663,7 +670,16 @@ class CoupledModel:
         (atm, ice, cpts_st, acc, atav), _ = jax.lax.scan(
             atm_body, (atm, ice, state.cpts, acc0, atav0), None,
             length=self.ntspas)
-        diag["tavg_atm"] = {k: v / self.ntspas for k, v in atav.items()}
+        tavg_a = {k: v / self.ntspas for k, v in atav.items()}
+        # flux-bus means (embm_tavg.F catalog: precip, evap, runoff,
+        # OLR, absorbed SW, surface turbulent/longwave fluxes)
+        at_n = acc["time"]
+        for nm in ("precip", "evap", "runoff", "olr", "swr", "uplwr",
+                   "upsens", "upltnt"):
+            tavg_a[nm] = acc[nm] / at_n
+        tavg_a["soilm"] = atm.soilm
+        tavg_a["tice"] = ice.tice
+        diag["tavg_atm"] = tavg_a
 
         swr_mean = acc["swr"] / acc["time"]
         # segment flux totals for the conservation audit (global_sums.F
@@ -697,6 +713,12 @@ class CoupledModel:
             # TRIFFID every segment: gamma = 360d / segment days
             gamma = 360.0 / self.cfg.time.segtim_days
             land, _ = triffid_update(land, self.embm.lmsk, gamma)
+            # land tavg rows (mtlm_tavg.F catalog)
+            diag["tavg_land"] = dict(
+                m_soil=land.m_soil, lying_snow=land.lying_snow,
+                tsoil=land.tsoil, cs=land.cs,
+                veg_frac=jnp.sum(land.frac[:5], axis=0),
+                nep=lflux["nep"])
 
         state = CoupledState(ocean=state.ocean, atm=atm, ice=ice,
                              land=land, sed=state.sed, cpts=cpts_st)
@@ -776,28 +798,59 @@ class CoupledModel:
             salt=jnp.zeros_like(state.ocean.t[1]),
             u=jnp.zeros_like(state.ocean.t[0]),
             v=jnp.zeros_like(state.ocean.t[0]),
+            w=jnp.zeros_like(state.ocean.t[0]),
+            rho=jnp.zeros_like(state.ocean.t[0]),
             psi=jnp.zeros_like(state.ocean.psi0))
+        if self.ocean.nt > 2:
+            otav0["surf_tracers"] = jnp.zeros_like(state.ocean.t[:, 0])
 
         def ocean_body(carry, _):
             oc, tav_c = carry
             lf = (oc.itt % nmix) != 0
             oc = self.ocean._step(oc, forcing, leapfrog=lf)
-            # per-step tavg accumulation (tracer.F:420-443 semantics)
+            # per-step tavg accumulation (tracer.F:420-443 / the
+            # mom_tavg.F catalog: T S u v w rho psi + surface tracers)
             uf = self.ocean.full_velocity(oc.u, oc.psi0)
+            from ..models.ocean.kernels import adv_vel
+            from ..models.ocean.model import eos_state_from
+            _, _, vbt, *_ = adv_vel(uf[0], uf[1], self.ocean.g,
+                                    self.ocean.cyclic)
+            rho = eos_state_from(self.ocean.eos_c, self.ocean.eos_to,
+                                 self.ocean.eos_so, oc.t)
             tav_n = dict(temp=tav_c["temp"] + oc.t[0],
                          salt=tav_c["salt"] + oc.t[1],
                          u=tav_c["u"] + uf[0], v=tav_c["v"] + uf[1],
+                         w=tav_c["w"] + vbt,
+                         rho=tav_c["rho"] + rho,
                          psi=tav_c["psi"] + oc.psi0)
+            if "surf_tracers" in tav_c:
+                tav_n["surf_tracers"] = tav_c["surf_tracers"] \
+                    + oc.t[:, 0]
             return (oc, tav_n), None
 
         (ocean, otav), _ = jax.lax.scan(
             ocean_body, (state.ocean, otav0), None, length=self.ntspos)
-        diag["tavg_ocean"] = {
+        tavg_o = {
             "temp": otav["temp"] / self.ntspos,
             "salt": otav["salt"] / self.ntspos * 1000.0 + 35.0,
             "u": otav["u"] / self.ntspos,
             "v": otav["v"] / self.ntspos,
+            "w": otav["w"] / self.ntspos,
+            "rho": otav["rho"] / self.ntspos,
             "psi": otav["psi"] / self.ntspos}
+        if "surf_tracers" in otav:
+            names = [tr.name for tr in self.ocean.tracer_index.tracers]
+            surf = otav["surf_tracers"] / self.ntspos
+            for n_i, nm in enumerate(names[2:], start=2):
+                tavg_o["surf_" + nm] = surf[n_i]
+        # surface forcing means (mom_tavg.F stf/smf rows): heat/salt
+        # flux as applied, momentum flux, shortwave
+        at = acc["time"]
+        tavg_o["hflx"] = 2.389e-8 * acc["heat"] / at * self.embm.tmsk
+        tavg_o["sflx"] = -SOCN * acc["freshwater"] / at * self.embm.tmsk
+        tavg_o["taux"] = acc["taux"] / at / 1.035
+        tavg_o["tauy"] = acc["tauy"] / at / 1.035
+        diag["tavg_ocean"] = tavg_o
         return CoupledState(ocean=ocean, atm=atm, ice=ice, land=land,
                             sed=state.sed, cpts=cpts_st), diag
 
