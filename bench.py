@@ -63,7 +63,95 @@ def _enable_compile_cache():
 # move its state faster than this, so any timing implying more is an
 # artifact (async dispatch not blocked, elided computation, ...)
 HBM_PEAK_BYTES_S = 4.0e12
+# realistic sustained HBM bandwidth of the attached chip (v5e-class:
+# ~819 GB/s peak) — the denominator for the %-of-streaming-bound
+# figure the north star asks to track
+HBM_SUSTAINED_BYTES_S = 8.0e11
 REPS = 5
+
+
+def _stream_bound_s(m, dtype):
+    """Minimum time to stream the step's working set through HBM once
+    (the memory-bandwidth speed-of-light for this configuration):
+    tracers tau/tau-1 in + tau+1 out, both velocity time levels in +
+    internal mode out, and the main per-cell coefficient fields read
+    (diff_cbt + masks)."""
+    g = m.params.grid
+    cell3 = g.km * g.jmt * g.imt
+    itemsize = np.dtype(dtype).itemsize
+    b = 0
+    b += 3 * m.nt * cell3            # t tau, tau-1 read; tau+1 write
+    b += 6 * 2 * cell3               # u/v at two levels in, one out
+    b += 2 * cell3                   # diff_cbt + tmask reads
+    return b * itemsize / HBM_SUSTAINED_BYTES_S
+
+
+def _time_phases(m, state, forcing, dtype):
+    """Per-phase wall times of the physics step (profile_step2
+    condensed): adv_vel, isopyc/GM, tracer, clinic, barotropic CG."""
+    import jax
+    import jax.numpy as jnp
+    from uvic_tpu.models.ocean.kernels import (adv_vel, clinic_step,
+                                               tracer_step)
+    from uvic_tpu.models.ocean.model import eos_state_from
+
+    g, cfg = m.g, m.cfg.ocean
+
+    def tme(fn, *args, n=10):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n, out
+
+    out = {}
+    u_tau = m.full_velocity(state.u, state.psi0)
+    u_tm1 = m.full_velocity(state.um1, state.psi1)
+    t_adv, (vet, vnt, vbt, veu, vnu, vbu) = tme(
+        jax.jit(lambda u: adv_vel(u[0], u[1], g, m.cyclic)), u_tau)
+    out["phase_adv_vel_ms"] = round(t_adv * 1e3, 3)
+
+    iso = None
+    if cfg.isopycmix:
+        from uvic_tpu.models.ocean.isopyc import compute_isopyc
+        ic = jax.jit(lambda t: compute_isopyc(
+            t, m.tmask, m.kmt, m.eos_c, m.eos_to, m.eos_so, g, cfg,
+            m.cyclic, addisop=m.addisop))
+        t_iso, iso = tme(ic, state.tm1)
+        out["phase_isopyc_ms"] = round(t_iso * 1e3, 3)
+
+    stf = forcing.stf
+    btf = jnp.zeros_like(stf)
+    diff_cbt = m.diff_cbt + (iso.K33 if iso is not None else 0.0)
+    aidif = cfg.aidif if cfg.isopycmix else 0.0
+    ts = jax.jit(lambda a, b: tracer_step(
+        a, b, vet, vnt, vbt, stf, btf, None, diff_cbt, m.kmt,
+        m.tmask, g, 2.0 * cfg.dtts, cfg.tracer_advection, aidif,
+        m.cyclic, iso=iso))
+    t_tr, _ = tme(ts, state.t, state.tm1)
+    out["phase_tracer_ms"] = round(t_tr * 1e3, 3)
+
+    rho = eos_state_from(m.eos_c, m.eos_to, m.eos_so, state.t)
+    hmix_u = ("aniso", m.aniso_visc[0], m.aniso_visc[1]) \
+        if m.aniso_visc is not None else None
+    cl = jax.jit(lambda ut, um: clinic_step(
+        ut, um, rho, veu, vnu, vbu, forcing.smf,
+        jnp.zeros_like(forcing.smf), m.visc_cbu, m.kmu, m.umask, g,
+        2.0 * cfg.dtuv, m.cyclic, hmix=hmix_u))
+    t_cl, (u_int, zu) = tme(cl, u_tau, u_tm1)
+    out["phase_clinic_ms"] = round(t_cl * 1e3, 3)
+
+    from uvic_tpu.models.ocean.tropic import tropic_step
+    tr = jax.jit(lambda z, s: tropic_step(
+        z, s.psi0, s.psi1, s.ptd, s.ptdb, m.cf_unit, m.cf_acor, m.isl,
+        g.dxu, g.dyu, g.csu, 2.0 * cfg.dtsf, cfg.tolrsf, cfg.mxscan,
+        True, m.cyclic, filt=m.filt_sf, solver=m.cg_solver,
+        npt=cfg.sf_npt))
+    t_cg, _ = tme(tr, zu, state)
+    out["phase_barotropic_ms"] = round(t_cg * 1e3, 3)
+    return out
 
 
 def _time_config(nsteps, dtype, mobi=False):
@@ -184,10 +272,20 @@ def main(nsteps=20, dtype="float32"):
 
     m, gps, dt_wall = _time_config(nsteps, dtype, mobi=False)
     myd = m.cfg.ocean.dtts / dt_wall / 365.0
+    sb = _stream_bound_s(m, dtype)
     extras = {"physics_nt": m.nt,
               "physics_gridpoints_s": round(gps, 1),
               "physics_step_wall_s": round(dt_wall, 5),
+              "physics_pct_of_streaming_bound": round(
+                  100.0 * sb / dt_wall, 1),
               "model_years_per_day": round(myd, 1)}
+    # per-phase breakdown (the roofline attack surface; VERDICT r3 #3)
+    try:
+        import __graft_entry__ as ge
+        m_p, s_p, f_p = ge._flagship(small=False, dtype=dtype)
+        extras.update(_time_phases(m_p, s_p, f_p, dtype))
+    except Exception as e:
+        extras["phase_error"] = str(e)[:120]
     # headline: the reference's configured model is the FULL MOBI
     # biogeochemistry suite (run/mk.in Model_Options), ~39 tracers
     try:
@@ -195,6 +293,8 @@ def main(nsteps=20, dtype="float32"):
                                              mobi=True)
         head_gps, head_nt = gps_mobi, m2.nt
         extras["mobi_step_wall_s"] = round(dt_mobi, 5)
+        extras["mobi_pct_of_streaming_bound"] = round(
+            100.0 * _stream_bound_s(m2, dtype) / dt_mobi, 1)
     except Exception as e:  # fall back to the physics-only number
         head_gps, head_nt = gps, m.nt
         extras["mobi_error"] = str(e)[:120]

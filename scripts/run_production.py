@@ -30,15 +30,24 @@ def main():
     ap.add_argument("--tsiint", type=float, default=10.0)
     ap.add_argument("--timavgint", type=float, default=360.0)
     ap.add_argument("--restint", type=float, default=360.0)
+    ap.add_argument("--earth", action="store_true",
+                    help="flagship earth configuration (earth_config "
+                         "+ real-Earth topography)")
+    ap.add_argument("--from-restart", default=None,
+                    help="seed the initial state from this .npz "
+                         "(e.g. a spinup checkpoint)")
     args = ap.parse_args()
 
     import dataclasses
 
-    from uvic_tpu.config import ModelConfig, mobi_full
+    from uvic_tpu.config import ModelConfig, earth_config, mobi_full
     from uvic_tpu.coupler.driver import CoupledModel
     from uvic_tpu.coupler.run import Run
 
-    cfg = ModelConfig().replace(dtype=args.dtype)
+    if args.earth:
+        cfg = earth_config(dtype=args.dtype)
+    else:
+        cfg = ModelConfig().replace(dtype=args.dtype)
     cfg = cfg.replace(time=dataclasses.replace(
         cfg.time, tsiint=args.tsiint, timavgint=args.timavgint,
         restint=args.restint))
@@ -49,12 +58,17 @@ def main():
         cfg = cfg.replace(bgc=BgcConfig(
             suite="npzd", carbon=True, alk=True, o2=True, nitrogen=True))
 
-    model = CoupledModel(cfg)
+    model = CoupledModel(cfg, topo_kind="earth" if args.earth
+                         else "world")
     run = Run(model, args.outdir, log=lambda m: print(m, flush=True))
     state = model.init_state()
     if args.restart:
         state = run.load(state)
         print(f"resumed at {run.tm.stamp()}")
+    elif args.from_restart:
+        from uvic_tpu.io.restart import load_restart
+        state = load_restart(args.from_restart, state)
+        print(f"seeded from {args.from_restart}")
 
     yrlen = 360.0 if cfg.time.eqyear else 365.0
     t0 = time.perf_counter()
