@@ -308,7 +308,7 @@ def earth_wind_stress(grid: Grid) -> np.ndarray:
     lat = grid.yu
     tx = (-0.65 * (_gauss(lat, 15.0, 9.0) + _gauss(lat, -15.0, 9.0))
           + 1.0 * _gauss(lat, 45.0, 9.0) + 1.5 * _gauss(lat, -50.0, 9.0)
-          - 0.25 * _gauss(lat, 75.0, 7.0) - 0.25 * _gauss(lat, -66.0, 6.0))
+          - 0.25 * _gauss(lat, 75.0, 7.0) - 0.15 * _gauss(lat, -66.0, 6.0))
     # meridional component: trade-wind convergence toward the ITCZ
     ty = (-0.20 * _gauss(lat, 12.0, 8.0) + 0.20 * _gauss(lat, -12.0, 8.0))
     jmt, imt = grid.jmt, grid.imt
@@ -359,8 +359,10 @@ def earth_atm_coalbedo(grid: Grid) -> np.ndarray:
     ~60 W/m2 short and drove an over-vigorous MOC.
     aca = 0.80 - 0.115 sin^2(lat) - storm-track dip."""
     lat = np.asarray(grid.yt, dtype=float)
-    aca = (0.796 - 0.085 * np.sin(np.deg2rad(lat)) ** 2
-           - 0.01 * (_gauss(lat, 52.0, 12.0) + _gauss(lat, -52.0, 12.0)))
+    aca = (0.80 - 0.085 * np.sin(np.deg2rad(lat)) ** 2
+           - 0.01 * _gauss(lat, 52.0, 12.0)
+           + 0.015 * _gauss(lat, -57.0, 8.0)
+           + 0.025 * _gauss(lat, 72.0, 12.0))
     return np.broadcast_to(aca[:, None], (grid.jmt, grid.imt)).copy()
 
 
@@ -377,10 +379,11 @@ def earth_atm_diff(grid: Grid):
     # polar caps: without the enhancement the polar annual SAT settles
     # near -55 C (transport-starved); the reference's A_difft fields
     # carry the same high-latitude rise
-    polar = (1.0 / (1.0 + np.exp(-(np.abs(lat) - 63.0) / 5.0)))
+    polar_nh = 1.0 / (1.0 + np.exp(-(lat - 63.0) / 5.0))
+    polar_sh = 1.0 / (1.0 + np.exp(-(-lat - 63.0) / 5.0))
     dt_ = 5.0e9 * (0.9 + 1.5 * _gauss(lat, 47.0, 13.0)
                    + 1.8 * _gauss(lat, -52.0, 14.0)
-                   + 2.0 * polar)
+                   + 2.8 * polar_nh + 2.0 * polar_sh)
     dq = 5.0e9 * (0.9 + 0.7 * _gauss(lat, 0.0, 11.0))
     jmt, imt = grid.jmt, grid.imt
     return (np.broadcast_to(dt_[:, None], (jmt, imt)).copy(),
