@@ -115,11 +115,14 @@ def _time_phases(m, state, forcing, dtype):
 
     iso = None
     if cfg.isopycmix:
-        from uvic_tpu.models.ocean.isopyc import compute_isopyc
-        ic = jax.jit(lambda t: compute_isopyc(
+        import dataclasses as _dc
+        from uvic_tpu.models.ocean.isopyc import (IsopycFields,
+                                                  compute_isopyc)
+        ic = jax.jit(lambda t: _dc.astuple(compute_isopyc(
             t, m.tmask, m.kmt, m.eos_c, m.eos_to, m.eos_so, g, cfg,
-            m.cyclic, addisop=m.addisop))
-        t_iso, iso = tme(ic, state.tm1)
+            m.cyclic, addisop=m.addisop)))
+        t_iso, tup = tme(ic, state.tm1)
+        iso = IsopycFields(*tup)
         out["phase_isopyc_ms"] = round(t_iso * 1e3, 3)
 
     stf = forcing.stf
