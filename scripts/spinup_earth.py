@@ -43,6 +43,13 @@ def yearly_diags(m, state, acc_sum, v_ann, psi_ann, ice_samples, area,
     moc = np.asarray(meridional_overturning(
         jnp.asarray(v_ann, state.ocean.t.dtype), m.ocean.g,
         m.ocean.umask), np.float64) / 1e12
+    # the Eulerian zonal-mean MOC at the equator is dominated by the
+    # surface Ekman rolls (+-90 Sv at +-1.8 deg, 30 m depth — standard
+    # z-model artifact); the physical overturning headline masks
+    # |lat| <= 5 like the usual practice
+    yu = np.asarray(m.grid.yu)
+    exeq = np.abs(yu) > 5.0
+    moc_x = moc[:, exeq]
     ice_nh = np.asarray([s[0] for s in ice_samples])
     ice_sh = np.asarray([s[1] for s in ice_samples])
 
@@ -67,6 +74,8 @@ def yearly_diags(m, state, acc_sum, v_ann, psi_ann, ice_samples, area,
         psi_max=round(float(np.abs(psi_ann).max()) / 1e12, 1),
         moc_max=round(float(moc.max()), 1),
         moc_min=round(float(moc.min()), 1),
+        moc_max_exeq=round(float(moc_x.max()), 1),
+        moc_min_exeq=round(float(moc_x.min()), 1),
         toa_z=zavg(toa2d, [-85, -60, -30, 0, 30, 60, 85]),
         sat_z=zavg(sat, [-85, -60, -30, 0, 30, 60, 85]),
     )
