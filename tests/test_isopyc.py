@@ -171,3 +171,56 @@ def test_full_tensor_spinup_stable_and_conserves(ocean_full):
     state = m.run(state, f, 20)
     assert not bool(jnp.isnan(state.t).any())
     assert abs(heat(state) - h0) / abs(h0) < 1e-9
+
+
+def test_iso_weight_pack_matches_isoflux():
+    """The weight-folded Redi/GM tendency (iso_weight_pack +
+    iso_tendency — the perf path) is algebraically identical to the
+    isoflux + divergence composition the model used before."""
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from uvic_tpu.config import small_config
+    from uvic_tpu.models.ocean.model import make_ocean
+    from uvic_tpu.models.ocean.isopyc import (compute_isopyc,
+                                              iso_tendency,
+                                              iso_weight_pack, isoflux)
+    from uvic_tpu.ops.stencil import E, N, S, UP, W, setbcx
+
+    cfg = small_config(imt=40, jmt=34, km=8)
+    cfg = cfg.replace(ocean=dataclasses.replace(
+        cfg.ocean, isopycmix=True, gent_mcwilliams=True,
+        aniso_zonal=True))
+    m = make_ocean(cfg)
+    g = m.g
+    grid = m.params.grid
+    rng = np.random.default_rng(21)
+    lat = np.asarray(grid.yt)[:, None]
+    t0 = np.zeros((3, grid.km, grid.jmt, grid.imt))
+    t0[0] = ((16.0 * np.exp(-np.asarray(grid.zt) / 800e2))[:, None, None]
+             * (0.5 + 0.5 * np.cos(np.deg2rad(lat)))[None])
+    t0[1] = 2e-4 * rng.normal(size=t0[1].shape)
+    t0[2] = rng.normal(size=t0[2].shape)      # a passive 3rd tracer
+    t0 *= np.asarray(m.tmask)
+    t = jnp.asarray(np.asarray(setbcx(jnp.asarray(t0), True)))
+
+    iso = compute_isopyc(t[:2], m.tmask, m.kmt, m.eos_c, m.eos_to,
+                         m.eos_so, g, cfg.ocean, True,
+                         addisop=m.addisop)
+
+    # old path: isoflux + the divergence exactly as model.py composed it
+    fe_i, fn_i, fb_i = isoflux(iso, t, m.tmask, g, True)
+    tmask = m.tmask
+    old = ((fe_i * E(tmask)[None] - W(fe_i) * W(tmask)[None])
+           * g.cstdxtr[None, None]
+           + (fn_i * N(tmask)[None] - S(fn_i) * S(tmask)[None])
+           * (1.0 / (g.cst * g.dyt))[None, None, :, None]
+           + (UP(fb_i) - fb_i) * g.dztr[None, :, None, None])
+
+    wp = iso_weight_pack(iso, g)
+    new = iso_tendency(t, wp, m.tmask, g, True)
+
+    scale = float(jnp.abs(old).max())
+    assert scale > 0.0
+    np.testing.assert_allclose(np.asarray(new), np.asarray(old),
+                               rtol=1e-8, atol=1e-10 * scale)

@@ -580,3 +580,125 @@ def isoflux(iso: IsopycFields, t, tmask, g, cyclic=True):
     fb_iso = dxt4r * sumx + dyt4r * cstr * sumy
     fb_iso = fb_iso.at[:, -1].set(0.0)
     return fe_iso, fn_iso, fb_iso
+
+
+# ----------------------------------------------------------------------
+# weight-folded isoflux (round-4 perf path)
+# ----------------------------------------------------------------------
+
+def iso_weight_pack(iso: IsopycFields, g):
+    """Fold every tracer-INDEPENDENT factor of the small-angle isoflux
+    into per-face weight fields (measured: the Redi/GM tendency is
+    ~5 ms of the 14 ms MOBI step because the flux loops recompute the
+    rho-gradient ratios inside the nt-batched graph; with the weights
+    precomputed once per step, the per-tracer work collapses to ~35
+    shift-FMA ops).
+
+    Returns a dict of (km, jmt, imt) arrays:
+      we[ip][kr], wn[jq][kr], wbx[ip][kr], wby[jq][kr], k11c, k22c
+    such that (small-angle only, no full tensor):
+      fe_iso = -sum we*vdiff(t_ip,kr) + k11c*(E(t)-t)
+      fn_iso = -sum wn*vdiff(t_jq,kr) + k22c*(N(t)-t)
+      fb_iso = -sum wbx*tdx(ip,kr) - sum wby*tdy(jq,kr)
+    with the boundary zeroings folded into the weights."""
+    assert not iso.full_tensor, "weight pack: small-angle only"
+    alphai, betai = iso.alphai, iso.betai
+    km = alphai.shape[0]
+    dzt4r = (0.25 * g.dztr).reshape(km, 1, 1)
+    csu_1 = g.csu[None, :, None]
+    cstr = g.cstr[None, :, None]
+    dxt4r = (0.25 / g.dxt)[None, None, :]
+    dyt4r = (0.25 / g.dyt)[None, :, None]
+
+    def ddz_face(n, kr, shift=None):
+        a = iso.ddzt[n] if shift is None else shift(iso.ddzt[n])
+        return a if kr == 1 else UP(a)
+
+    def zero_bounds(w, kr):
+        # vdiff is zeroed at the surface (kr=0) / bottom (kr=1) level
+        if kr == 0:
+            return w.at[0].set(0.0)
+        return w.at[-1].set(0.0)
+
+    we = [[None, None], [None, None]]
+    for ip in (0, 1):
+        a_i = alphai if ip == 0 else E(alphai)
+        b_i = betai if ip == 0 else E(betai)
+        drodxe = a_i * iso.ddxt[0] + b_i * iso.ddxt[1]
+        for kr in (0, 1):
+            shift = None if ip == 0 else E
+            drodze = a_i * ddz_face(0, kr, shift) \
+                + b_i * ddz_face(1, kr, shift)
+            w = dzt4r * iso.ai_ez[ip][kr] * drodxe / (drodze + EPSLN)
+            we[ip][kr] = zero_bounds(w, kr)
+
+    wn = [[None, None], [None, None]]
+    for jq in (0, 1):
+        a_j = alphai if jq == 0 else N(alphai)
+        b_j = betai if jq == 0 else N(betai)
+        drodyn = a_j * iso.ddyt[0] + b_j * iso.ddyt[1]
+        for kr in (0, 1):
+            shift = None if jq == 0 else N
+            drodzn = a_j * ddz_face(0, kr, shift) \
+                + b_j * ddz_face(1, kr, shift)
+            w = csu_1 * dzt4r * iso.ai_nz[jq][kr] * drodyn \
+                / (drodzn + EPSLN)
+            wn[jq][kr] = zero_bounds(w, kr)
+
+    wbx = [[None, None], [None, None]]
+    wby = [[None, None], [None, None]]
+    for kr in (0, 1):
+        a_k = alphai if kr == 0 else DN(alphai, fill=1.0)
+        b_k = betai if kr == 0 else DN(betai, fill=1.0)
+        drodzb = a_k * iso.ddzt[0] + b_k * iso.ddzt[1]
+        ddxt_k = iso.ddxt if kr == 0 else DN(iso.ddxt)
+        ddyt_k = iso.ddyt if kr == 0 else DN(iso.ddyt)
+        for ip in (0, 1):
+            gx = a_k * (W(ddxt_k[0]) if ip == 0 else ddxt_k[0]) \
+                + b_k * (W(ddxt_k[1]) if ip == 0 else ddxt_k[1])
+            w = dxt4r * iso.ai_bx[ip][kr] * cstr * gx / (drodzb + EPSLN)
+            wbx[ip][kr] = w.at[-1].set(0.0)       # fb zero at bottom
+        for jq in (0, 1):
+            gy = a_k * (S(ddyt_k[0]) if jq == 0 else ddyt_k[0]) \
+                + b_k * (S(ddyt_k[1]) if jq == 0 else ddyt_k[1])
+            fy = S(csu_1) if jq == 0 else csu_1
+            w = dyt4r * cstr * iso.ai_by[jq][kr] * fy * gy \
+                / (drodzb + EPSLN)
+            wby[jq][kr] = w.at[-1].set(0.0)
+    return dict(we=we, wn=wn, wbx=wbx, wby=wby,
+                k11c=iso.K11 * g.cstdxur[None],
+                k22c=iso.K22 * (g.csu * g.dyur)[None, :, None])
+
+
+def iso_tendency(t, wp, tmask, g, cyclic=True):
+    """Redi/GM flux-divergence tendency for all tracers from the
+    weight pack (algebraically identical to isoflux + the divergence
+    in model.py, small-angle path).  t: (nt, km, jmt, imt)."""
+    tE, tN = E(t), N(t)
+    tUP, tDN = UP(t), DN(t)
+
+    def vd0(f):           # vdiff kr=0: UP(f) - f (weights zero k=0)
+        return UP(f) - f
+
+    def vd1(f):           # vdiff kr=1: f - DN(f) (weights zero km-1)
+        return f - DN(f)
+
+    we, wn = wp["we"], wp["wn"]
+    fe = (wp["k11c"][None] * (tE - t)
+          - we[0][0][None] * vd0(t) - we[0][1][None] * vd1(t)
+          - we[1][0][None] * vd0(tE) - we[1][1][None] * vd1(tE))
+    fn = (wp["k22c"][None] * (tN - t)
+          - wn[0][0][None] * vd0(t) - wn[0][1][None] * vd1(t)
+          - wn[1][0][None] * vd0(tN) - wn[1][1][None] * vd1(tN))
+    wbx, wby = wp["wbx"], wp["wby"]
+    fb = -(wbx[0][0][None] * (t - W(t)) + wbx[1][0][None] * (tE - t)
+           + wbx[0][1][None] * (tDN - W(tDN))
+           + wbx[1][1][None] * (E(tDN) - tDN)
+           + wby[0][0][None] * (t - S(t)) + wby[1][0][None] * (tN - t)
+           + wby[0][1][None] * (tDN - S(tDN))
+           + wby[1][1][None] * (N(tDN) - tDN))
+    return ((fe * E(tmask)[None] - W(fe) * W(tmask)[None])
+            * g.cstdxtr[None, None]
+            + (fn * N(tmask)[None] - S(fn) * S(tmask)[None])
+            * (1.0 / (g.cst * g.dyt))[None, None, :, None]
+            + (UP(fb) - fb) * g.dztr[None, :, None, None])

@@ -575,19 +575,15 @@ class OceanModel:
         if self.pallas_tracer is not None and hmix_t is None:
             if iso is not None:
                 # Redi flux divergence folded in as an extra tendency
-                # (linear split of the tracer.F:711-727 diffusion)
-                from ...ops.stencil import E, N, S, UP, W
-                from .isopyc import isoflux
-                fe_i, fn_i, fb_i = isoflux(iso, tm1, self.tmask, g,
-                                           self.cyclic)
-                tmask = self.tmask
-                iso_tend = (
-                    (fe_i * E(tmask)[None] - W(fe_i) * W(tmask)[None])
-                    * g.cstdxtr[None, None]
-                    + (fn_i * N(tmask)[None]
-                       - S(fn_i) * S(tmask)[None])
-                    * (1.0 / (g.cst * g.dyt))[None, None, :, None]
-                    + (UP(fb_i) - fb_i) * g.dztr[None, :, None, None])
+                # (linear split of the tracer.F:711-727 diffusion).
+                # Weight-folded form: every tracer-independent factor
+                # (Ai * drodh/(drodz+eps), metric prefactors, boundary
+                # zeroings) is precomputed ONCE per step, collapsing
+                # the nt-batched work from ~80 to ~35 elementwise ops
+                # (tested identical to isoflux in test_isopyc.py)
+                from .isopyc import iso_tendency, iso_weight_pack
+                iso_tend = iso_tendency(tm1, iso_weight_pack(iso, g),
+                                        self.tmask, g, self.cyclic)
                 source = iso_tend if source is None else source + iso_tend
             t_new = self.pallas_tracer(
                 t_tau, tm1, vet_t, vnt_t, vbt_t, diff_cbt, stf, btf,
