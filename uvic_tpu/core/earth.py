@@ -359,7 +359,7 @@ def earth_atm_coalbedo(grid: Grid) -> np.ndarray:
     ~60 W/m2 short and drove an over-vigorous MOC.
     aca = 0.80 - 0.115 sin^2(lat) - storm-track dip."""
     lat = np.asarray(grid.yt, dtype=float)
-    aca = (0.80 - 0.085 * np.sin(np.deg2rad(lat)) ** 2
+    aca = (0.81 - 0.085 * np.sin(np.deg2rad(lat)) ** 2
            - 0.01 * _gauss(lat, 52.0, 12.0)
            + 0.015 * _gauss(lat, -57.0, 8.0)
            + 0.025 * _gauss(lat, 72.0, 12.0))
