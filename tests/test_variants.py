@@ -249,3 +249,81 @@ def test_fct_variant_flux_level():
     dlm2 = fct_flux(*args, variant="dlm2")
     assert float(jnp.abs(base[0] - f3d[0]).max()) > 0.0
     assert float(jnp.abs(base[0] - dlm2[0]).max()) > 0.0
+
+
+def test_neptune_topographic_stress():
+    """O_neptune (neptune.F): the lateral friction relaxes toward the
+    Holloway equilibrium flow.  Checks the pnep/unep construction
+    (kmz min-of-four, snep(lat), external-mode-style differences)
+    against a hand computation at one point, the field's masking, and
+    that the clinic tendency responds while unep == 0 reproduces the
+    plain step exactly."""
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from uvic_tpu.config import small_config
+    from uvic_tpu.constants import OMEGA
+    from uvic_tpu.models.ocean.model import make_ocean
+    from uvic_tpu.models.ocean.neptune import neptune_velocity
+
+    cfg = small_config(imt=40, jmt=34, km=8)
+    cfg = cfg.replace(ocean=dataclasses.replace(cfg.ocean,
+                                                neptune=True))
+    m = make_ocean(cfg)
+    g = m.params.grid
+    topo = m.params.topo
+    unep = np.asarray(m.unep)
+    assert np.isfinite(unep).all()
+    assert np.abs(unep).max() > 0.0
+
+    # hand check at an interior wet point
+    kmu = np.asarray(topo.kmu)
+    j, i = 16, 12
+    kmz = min(kmu[j - 1, i - 1], kmu[j, i - 1], kmu[j - 1, i],
+              kmu[j, i])
+
+    def pnep_at(jj, ii):
+        kz = min(kmu[jj - 1, ii - 1], kmu[jj, ii - 1],
+                 kmu[jj - 1, ii], kmu[jj, ii])
+        tl = np.deg2rad(np.asarray(g.yt)[jj])
+        f = 2.0 * OMEGA * np.sin(tl)
+        snep = cfg.ocean.spnep + (cfg.ocean.senep - cfg.ocean.spnep) \
+            * (0.5 + 0.5 * np.cos(2.0 * tl))
+        h = np.asarray(g.zw)[kz - 1] if kz > 0 else 0.0
+        return -f * snep ** 2 * h
+
+    d1 = pnep_at(j + 1, i + 1) - pnep_at(j, i)
+    d0 = pnep_at(j + 1, i) - pnep_at(j, i + 1)
+    u_exp = -(d1 + d0) * np.asarray(g.dyu2r)[j] * np.asarray(topo.hr)[j, i]
+    np.testing.assert_allclose(unep[0, j, i], u_exp, rtol=1e-12)
+
+    # clinic response: unep=None == plain; real unep changes the step
+    from uvic_tpu.models.ocean.kernels import adv_vel, clinic_step
+    from uvic_tpu.models.ocean.model import eos_state_from
+    rng = np.random.default_rng(3)
+    u0 = np.zeros((2, g.km, g.jmt, g.imt))
+    u0[0] = 3.0 * np.asarray(m.umask)
+    u0 = jnp.asarray(u0)
+    rho = eos_state_from(m.eos_c, m.eos_to, m.eos_so, jnp.asarray(
+        np.zeros((2, g.km, g.jmt, g.imt))))
+    _, _, _, veu, vnu, vbu = adv_vel(u0[0], u0[1], m.g, True)
+    smf = jnp.zeros((2, g.jmt, g.imt))
+    plain, _ = clinic_step(u0, u0, rho, veu, vnu, vbu, smf, smf,
+                           m.visc_cbu, m.kmu, m.umask, m.g, 3600.0,
+                           True)
+    with_zero, _ = clinic_step(u0, u0, rho, veu, vnu, vbu, smf, smf,
+                               m.visc_cbu, m.kmu, m.umask, m.g, 3600.0,
+                               True, unep=jnp.zeros((2, g.jmt, g.imt)))
+    np.testing.assert_array_equal(np.asarray(plain),
+                                  np.asarray(with_zero))
+    with_nep, _ = clinic_step(u0, u0, rho, veu, vnu, vbu, smf, smf,
+                              m.visc_cbu, m.kmu, m.umask, m.g, 3600.0,
+                              True, unep=m.unep)
+    assert np.abs(np.asarray(with_nep) - np.asarray(plain)).max() > 0.0
+    # and the full model step runs finite with neptune on
+    t0 = np.zeros((m.nt, g.km, g.jmt, g.imt))
+    t0[0] = 10.0 * np.asarray(m.tmask)
+    from uvic_tpu.models.ocean.model import make_forcing
+    st = m.step(m.init_state(t0), make_forcing(smf, jnp.zeros(
+        (m.nt, g.jmt, g.imt))), leapfrog=False)
+    assert np.isfinite(np.asarray(st.u)).all()

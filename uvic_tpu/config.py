@@ -161,6 +161,13 @@ class OceanConfig:
     shortwave: bool = False
     # geothermal bottom heat flux (O_gthflx, updates/09 bhf.F)
     gthflx: bool = False
+    # Neptune topographic stress (O_neptune, neptune.F): lateral
+    # friction relaxes toward the Holloway eddy-topography equilibrium
+    # flow; only active on the const-hmix (incl. aniso) path like the
+    # reference's O_consthmix && !O_biharmonic gate
+    neptune: bool = False
+    spnep: float = 3.0e5                       # polar length scale [cm]
+    senep: float = 12.0e5                      # equatorial length scale [cm]
     # Large et al. (2001) tropical anisotropic viscosity
     # (O_anisotropic_viscosity, updates/08 hmixc.F:66-147)
     aniso_visc: bool = False

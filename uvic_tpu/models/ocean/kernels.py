@@ -234,7 +234,7 @@ def hydrostatic_grad_p(rho, g, cyclic=True):
 
 def clinic_step(u_tau, u_tm1, rho, veu, vnu, vbu, smf, bmf,
                 visc_cbu, kmu, umask, g, c2dtuv, cyclic=True,
-                hmix=None):
+                hmix=None, unep=None):
     """Baroclinic momentum step (clinic.F:1-500).
 
     u_tau/u_tm1 : (2, km, jmt, imt) full velocities
@@ -243,6 +243,10 @@ def clinic_step(u_tau, u_tm1, rho, veu, vnu, vbu, smf, bmf,
     hmix        : None (const am Laplacian)
                   | ("smagnl", strain, am_lambda, am_phi, sine)
                   | ("biharmonic", ambi)
+    unep        : optional (2, jmt, imt) Neptune equilibrium velocity
+                  (O_neptune): the const-hmix lateral friction acts on
+                  u - unep instead of u (fdifm.h neptune branches,
+                  clinic.F:210-220)
     returns (u_int_new, zu): internal-mode velocity at tau+1 with the
     vertical mean removed, and the barotropic forcing zu (2, jmt, imt).
     """
@@ -270,6 +274,15 @@ def clinic_step(u_tau, u_tm1, rho, veu, vnu, vbu, smf, bmf,
         un_tm1 = u_tm1[n]
         other_tau = u_tau[1 - n]
         other_tm1 = u_tm1[1 - n]
+        if unep is not None:
+            # Neptune: lateral friction relaxes toward the
+            # topographic equilibrium flow (u - unep in every
+            # const-hmix diffusive/metric term, fdifm.h O_neptune)
+            un_d = un_tm1 - unep[n][None] * umask
+            other_d = other_tm1 - unep[1 - n][None] * umask
+        else:
+            un_d = un_tm1
+            other_d = other_tm1
 
         # advective fluxes (2x) across faces of U cells
         adv_fe = veu * (un_tau + E(un_tau))
@@ -295,12 +308,12 @@ def clinic_step(u_tau, u_tm1, rho, veu, vnu, vbu, smf, bmf,
             # the option)
             visc_ceu, visc_cnu = hmix[1], hmix[2]
             diff_fe = visc_ceu * (am_csudxtr / g.am) \
-                * (E(un_tm1) - un_tm1)
+                * (E(un_d) - un_d)
             diff_ux = (diff_fe - W(diff_fe)) * csudxur
             diff_uy = (visc_cnu * (amc_n / g.am)
-                       * (N(un_tm1) - un_tm1)
+                       * (N(un_d) - un_d)
                        - visc_cnu * (amc_s / g.am)
-                       * (un_tm1 - S(un_tm1)))
+                       * (un_d - S(un_d)))
             diff_metric_var = None
         elif hmix is not None:
             from .hmix import momentum_bihar_terms
@@ -309,10 +322,10 @@ def clinic_step(u_tau, u_tm1, rho, veu, vnu, vbu, smf, bmf,
             diff_uy = jnp.zeros_like(diff_ux)
             diff_metric_var = jnp.zeros_like(diff_ux)
         else:
-            diff_fe = am_csudxtr * (E(un_tm1) - un_tm1)
+            diff_fe = am_csudxtr * (E(un_d) - un_d)
             diff_ux = (diff_fe - W(diff_fe)) * csudxur
-            diff_uy = (amc_n * (N(un_tm1) - un_tm1)
-                       - amc_s * (un_tm1 - S(un_tm1)))
+            diff_uy = (amc_n * (N(un_d) - un_d)
+                       - amc_s * (un_d - S(un_d)))
             diff_metric_var = None
         diff_fb = visc_cbu * dzwr * (un_tm1 - DN(un_tm1))
         diff_fb = diff_fb.at[-1].set(0.0)
@@ -323,9 +336,9 @@ def clinic_step(u_tau, u_tm1, rho, veu, vnu, vbu, smf, bmf,
         if diff_metric_var is not None:
             diff_metric = diff_metric_var
         else:
-            diff_metric = (am3 * un_tm1
+            diff_metric = (am3 * un_d
                            + g.am4[n][None, :, None] * dxmetr
-                           * (E(other_tm1) - W(other_tm1)))
+                           * (E(other_d) - W(other_d)))
 
         coriolis = g.cori[n][None] * other_tau
 

@@ -247,6 +247,14 @@ class OceanModel:
             self.addisop = jn(equatorial_zonal_diffusivity(
                 np.asarray(g.yt)))
 
+        # Neptune topographic stress (O_neptune): static equilibrium
+        # velocity from topography (neptune.F; const-hmix gate)
+        self.unep = None
+        if cfg.ocean.neptune and cfg.ocean.hmix == "const":
+            from .neptune import neptune_velocity
+            self.unep = jn(neptune_velocity(
+                g, topo, cfg.ocean.spnep, cfg.ocean.senep))
+
         # geothermal bottom heat flux (O_gthflx): static host-evaluated
         # Hamza et al. (2007) harmonic field (setmom.F:1749-1754)
         self.bhf = None
@@ -624,7 +632,7 @@ class OceanModel:
         u_int_new, zu = clinic_step(
             u_tau, u_tm1, rho, veu, vnu, vbu, smf, bmf,
             visc_cbu, self.kmu, self.umask, g, c2dtuv, self.cyclic,
-            hmix=hmix_u)
+            hmix=hmix_u, unep=self.unep)
 
         # high-latitude velocity filtering (clinic.F:480-493)
         if self.filt_u is not None:
