@@ -250,7 +250,7 @@ def _time_sharded(nsteps, dtype):
     shape = (1, 1) if n < 2 else ((2, n // 2) if n % 2 == 0 else (1, n))
     m, state, forcing = ge._flagship(small=False, dtype=dtype)
     mesh = make_mesh(shape)
-    ss = ShardedOceanStep(m, mesh, halo=10)
+    ss = ShardedOceanStep(m, mesh)   # halo derived from the scheme
     s = shard_pytree(state, mesh)
     f = shard_pytree(forcing, mesh)
     s = ss.step(s, f, leapfrog=True)       # compile + warmup
