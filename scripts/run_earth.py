@@ -90,7 +90,8 @@ def main(years=10, out="earth_run.json"):
         )
 
     seg_days = cfg.time.segtim_days
-    seg_per_year = int(round(365.0 / seg_days))
+    yrlen = 360.0 if cfg.time.eqyear else 365.0   # ADVICE r4
+    seg_per_year = int(round(yrlen / seg_days))
     state = m.init_state()
 
     t0 = time.time()
@@ -99,7 +100,7 @@ def main(years=10, out="earth_run.json"):
     for yr in range(years):
         for s in range(seg_per_year):
             state = m.run_segment(state)
-            m.relyr += seg_days / 365.0
+            m.relyr += seg_days / yrlen
             if yr == years - 1 and s % 6 == 0:   # ~monthly, final year
                 d = diags(state)
                 final_year.append(dict(

@@ -31,9 +31,9 @@ uvic_tpu.enable_compile_cache()
 
 
 def yearly_diags(m, state, acc_sum, v_ann, psi_ann, ice_samples, area,
-                 oarea, lat):
+                 oarea, lat, vgm_ann=None, amask=None):
     import jax.numpy as jnp
-    from uvic_tpu.diag.energy import meridional_overturning
+    from uvic_tpu.diag.energy import gm_overturning, meridional_overturning
 
     sst = np.asarray(state.ocean.t[0, 0])
     sat = np.asarray(state.atm.at[0])
@@ -43,6 +43,28 @@ def yearly_diags(m, state, acc_sum, v_ann, psi_ann, ice_samples, area,
     moc = np.asarray(meridional_overturning(
         jnp.asarray(v_ann, state.ocean.t.dtype), m.ocean.g,
         m.ocean.umask), np.float64) / 1e12
+    moc_res = amoc = None
+    if vgm_ann is not None:
+        # residual (Eulerian + GM bolus) overturning — the physically
+        # meaningful circulation (diago.F O_gm_diag; VERDICT r4 #4)
+        dt_ = state.ocean.t.dtype
+        psi_gm = np.asarray(gm_overturning(
+            jnp.asarray(vgm_ann, dt_), m.ocean.g), np.float64) / 1e12
+        moc_res = moc + psi_gm
+        if amask is not None:
+            moc_a = np.asarray(meridional_overturning(
+                jnp.asarray(v_ann, dt_), m.ocean.g,
+                m.ocean.umask * jnp.asarray(amask, dt_)[None]),
+                np.float64) / 1e12
+            moc_a += np.asarray(gm_overturning(
+                jnp.asarray(vgm_ann, dt_), m.ocean.g,
+                xmask2d=jnp.asarray(amask, dt_)), np.float64) / 1e12
+            # AMOC headline: residual Atlantic deep cell max north of
+            # 30S below 500 m
+            zt = np.asarray(m.grid.zt)
+            deep = zt >= 500.0e2
+            jn_ = np.asarray(m.grid.yu) > -30.0
+            amoc = float(moc_a[np.ix_(deep, jn_)].max())
     # the Eulerian zonal-mean MOC at the equator is dominated by the
     # surface Ekman rolls (+-90 Sv at +-1.8 deg, 30 m depth — standard
     # z-model artifact); the physical overturning headline masks
@@ -62,7 +84,17 @@ def yearly_diags(m, state, acc_sum, v_ann, psi_ann, ice_samples, area,
                                    / max(w.sum(), 1e-30)), 1))
         return out
 
+    extra = {}
+    if moc_res is not None:
+        yu = np.asarray(m.grid.yu)
+        exq = np.abs(yu) > 5.0
+        mr = moc_res[:, exq]
+        extra = dict(moc_res_max=round(float(mr.max()), 1),
+                     moc_res_min=round(float(mr.min()), 1))
+        if amoc is not None:
+            extra["amoc_sv"] = round(amoc, 1)
     return dict(
+        **extra,
         sat_gm=round(float((sat * area).sum() / area.sum()), 3),
         sst_gm=round(float((sst * oarea).sum() / oarea.sum()), 3),
         toa_gm=round(float((toa2d * area).sum() / area.sum()), 3),
@@ -89,11 +121,17 @@ def main():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--log", default=None)
     p.add_argument("--save-every", type=int, default=10)
+    p.add_argument("--run-id", default=None,
+                   help="branch tag written to every log row "
+                        "(default: PID+start time); the earth_run.json "
+                        "builder refuses windows that mix run ids")
     args = p.parse_args()
+    run_id = args.run_id or "r%d-%d" % (os.getpid(), int(time.time()))
 
     import jax.numpy as jnp
     from uvic_tpu.config import earth_config
     from uvic_tpu.coupler.driver import CoupledModel
+    from uvic_tpu.diag.conservation import FullAudit
     from uvic_tpu.io.restart import load_restart, save_restart
 
     os.makedirs(args.out, exist_ok=True)
@@ -123,15 +161,39 @@ def main():
         m.relyr = md["relyr"]
         print(f"resumed at year {year0}", flush=True)
 
-    seg_per_year = int(round(365.0 / cfg.time.segtim_days))
+    # ADVICE r4: derive the year length from the configured
+    # calendar so restarts move cleanly between drivers (the
+    # coupled Run/CoupledModel.run advance relyr at days/360
+    # under the default eqyear calendar)
+    yrlen = 360.0 if cfg.time.eqyear else 365.0
+    seg_per_year = int(round(yrlen / cfg.time.segtim_days))
     t0 = time.time()
+
+    # TOA <-> reservoir reconciliation (VERDICT r4 #2): every year,
+    # compare the (asw - olr) diagnostic against d(atm+ocean+ice
+    # latent)/dt from the FullAudit inventories.  They must agree to
+    # ~0.1 W/m^2 (the residual is the land-snow branch); a growing
+    # residual means an energy leak, not "deep ocean filling".
+    audit = FullAudit(m)
+    earth_area = float(np.asarray(audit.area, np.float64).sum())
+    FLICE = 3.34e9
+
+    def total_E(state):
+        inv = audit.inventories(state)
+        return (inv["atm_heat_J"] + inv["ocn_heat_J"]
+                - FLICE * 1e-4 * inv["ice_water_kg"])    # J
+
+    yr_s = yrlen * 86400.0
+    E_prev = total_E(state)
+    from uvic_tpu.core.earth import atlantic_mask
+    amask = atlantic_mask(g)
     for yr in range(year0, year0 + args.years):
         acc_sum = {}
-        v_sum = psi_sum = None
+        v_sum = psi_sum = vgm_sum = None
         ice_samples = []
         for s in range(seg_per_year):
             state = m.run_segment(state)
-            m.relyr += cfg.time.segtim_days / 365.0
+            m.relyr += cfg.time.segtim_days / yrlen
             for k in ("toa_sw", "olr", "heat", "time"):
                 acc_sum[k] = acc_sum.get(k, 0.0) + np.asarray(
                     m.last_acc[k], np.float64)
@@ -139,15 +201,28 @@ def main():
             psi = np.asarray(m.last_tavg["psi"], np.float64)
             v_sum = v if v_sum is None else v_sum + v
             psi_sum = psi if psi_sum is None else psi_sum + psi
+            if "vntiso" in m.last_tavg:
+                vgm = np.asarray(m.last_tavg["vntiso"], np.float64)
+                vgm_sum = vgm if vgm_sum is None else vgm_sum + vgm
             if s % 6 == 0:
                 aice = np.asarray(state.ice.aice)
                 ice_samples.append(((aice * nh).sum() / 1e16,
                                     (aice * sh).sum() / 1e16))
         d = yearly_diags(m, state, acc_sum, v_sum / seg_per_year,
                          psi_sum / seg_per_year, ice_samples, area,
-                         oarea, lat)
+                         oarea, lat,
+                         vgm_ann=(None if vgm_sum is None
+                                  else vgm_sum / seg_per_year),
+                         amask=amask)
         d["year"] = yr + 1
         d["wall_s"] = round(time.time() - t0, 1)
+        d["run_id"] = run_id
+        d["accel"] = args.accel
+        E_now = total_E(state)
+        d["dE_wm2"] = round((E_now - E_prev) / yr_s / earth_area
+                            * 1e4, 3)
+        d["toa_audit_resid_wm2"] = round(d["toa_gm"] - d["dE_wm2"], 3)
+        E_prev = E_now
         if not np.isfinite(d["sat_gm"]):
             raise SystemExit("non-finite state at year %d" % (yr + 1))
         with open(logpath, "a") as f:

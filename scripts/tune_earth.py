@@ -109,13 +109,14 @@ def main(years=5):
         print(json.dumps(d), flush=True)
         return d
 
-    seg_per_year = int(round(365.0 / cfg.time.segtim_days))
+    yrlen = 360.0 if cfg.time.eqyear else 365.0   # ADVICE r4
+    seg_per_year = int(round(yrlen / cfg.time.segtim_days))
     state = m.init_state()
     t0 = time.time()
     for yr in range(years):
         for s in range(seg_per_year):
             state = m.run_segment(state)
-            m.relyr += cfg.time.segtim_days / 365.0
+            m.relyr += cfg.time.segtim_days / yrlen
         d = report(state, yr + 1, t0)
         if not np.isfinite(d["sat_gm"]):
             raise SystemExit("non-finite")

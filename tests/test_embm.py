@@ -67,6 +67,37 @@ def test_transport_conserves_with_zero_forcing(embm):
     assert not bool(jnp.isnan(x).any())
 
 
+def test_transport_operator_conserves(embm):
+    """areaT A == areaT for the implicit transport operator on every
+    physical cell: the flux-form upstream advection + diffusion must
+    neither create nor destroy the area integral (solve.F coef).  The
+    round-5 TOA reconciliation traced a ~2.2 W/m^2 planetary heat sink
+    to row 1 being an identity equation while row 2 still fluxed into
+    it (one-sided south-boundary leak)."""
+    import jax
+
+    G = embm.grid
+    g = embm.g
+    area = (np.asarray(G.cst)[:, None] * np.asarray(G.dyt)[:, None]
+            * np.asarray(G.dxt)[None, :]).astype(np.float64)
+    w = area.copy()
+    w[:, 0] = 0.0
+    w[:, -1] = 0.0
+    w[0, :] = 0.0
+    w[-1, :] = 0.0
+    dts = 2.0 * embm.cfg.dtatm
+    for diff in (embm.diff_t, embm.diff_q):
+        coefs = embm._coef(diff, dts)
+
+        def mv(x):
+            return embm._transport_matvec(x, coefs)
+
+        _, vjp = jax.vjp(mv, jnp.zeros((G.jmt, G.imt)))
+        wT_A, = vjp(jnp.asarray(w, jnp.asarray(diff).dtype))
+        resid = np.asarray(wT_A, np.float64) - w
+        assert np.abs(resid).max() / area.max() < 5e-5
+
+
 def test_berger_orbital_series():
     """Berger 1978 leading-term series (insolation.F orbit): modern
     epoch recovered, published paleo checkpoints within truncation

@@ -850,6 +850,21 @@ class CoupledModel:
         tavg_o["sflx"] = -SOCN * acc["freshwater"] / at * self.embm.tmsk
         tavg_o["taux"] = acc["taux"] / at / 1.035
         tavg_o["tauy"] = acc["tauy"] / at / 1.035
+        # GM eddy-induced (bolus) velocities for the residual
+        # overturning diagnostic (mom_tavg.F O_gm_diag rows; the
+        # reference's diago.F overturning includes adv_v*tiso).  One
+        # compute_isopyc per segment on the end-of-segment tracers —
+        # diagnostic-only, ~0.4 ms vs the ~250 ms segment.
+        if self.cfg.ocean.isopycmix and self.cfg.ocean.gent_mcwilliams:
+            from ..models.ocean.isopyc import compute_isopyc
+            om = self.ocean
+            iso_d = compute_isopyc(ocean.t, om.tmask, om.kmt, om.eos_c,
+                                   om.eos_to, om.eos_so, om.g,
+                                   self.cfg.ocean, om.cyclic,
+                                   addisop=om.addisop)
+            tavg_o["vetiso"] = iso_d.vetiso
+            tavg_o["vntiso"] = iso_d.vntiso
+            tavg_o["wbtiso"] = iso_d.vbtiso
         diag["tavg_ocean"] = tavg_o
         return CoupledState(ocean=ocean, atm=atm, ice=ice, land=land,
                             sed=state.sed, cpts=cpts_st), diag

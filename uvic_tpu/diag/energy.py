@@ -51,6 +51,28 @@ def meridional_overturning(v, g, umask):
     return -jnp.cumsum(trans, axis=0)
 
 
+def gm_overturning(vntiso, g, xmask2d=None):
+    """Overturning streamfunction of the GM eddy-induced (bolus)
+    velocity, psi_gm(k, j) in cm^3/s (diago.F O_gm_diag: the
+    reference's overturning adds adv_vntiso to the Eulerian v).
+
+    vntiso : (km, jmt, imt) bolus meridional velocity at T-cell north
+             faces as produced by isopyc._gm_velocities — the csu
+             metric factor is already folded in, so the zonal integral
+             uses dxt only.
+    xmask2d: optional (jmt, imt) column mask (e.g. an Atlantic basin
+             mask) applied on top of the cyclic-duplicate exclusion.
+
+    psi_residual = meridional_overturning(v) + gm_overturning(vntiso).
+    """
+    xmask = jnp.ones_like(vntiso[0]).at[:, 0].set(0.0).at[:, -1].set(0.0)
+    if xmask2d is not None:
+        xmask = xmask * xmask2d
+    trans = jnp.sum(vntiso * xmask * g.dxt[None, None, :], axis=2) \
+        * g.dzt[:, None]                                   # (km, jmt)
+    return -jnp.cumsum(trans, axis=0)
+
+
 def overturning_extrema(psi_moc, g):
     """Scalar summary: max/min overturning (Sv) and the NADW-style max
     below 500 m (the tsi-style headline number)."""

@@ -327,7 +327,14 @@ class EmbmModel:
         g = self.g
         jmt = self.grid.jmt
         j = jnp.arange(jmt)
-        interior_j = (j > 1) & (j < jmt - 1)
+        # active rows are 1..jmt-2 (solve.F interior j=2..jmt-1 in
+        # 1-based Fortran), symmetric with the j==1 / j==jmt-2 face-flux
+        # zeroing below.  Excluding row 1 here (as before round 5) froze
+        # the first physical row while row 2 still fluxed into it — a
+        # one-sided boundary leak that destroyed ~2.2 W/m^2 of global
+        # atmospheric heat (found by the areaT A = areaT adjoint test,
+        # tests/test_embm.py::test_transport_operator_conserves).
+        interior_j = (j > 0) & (j < jmt - 1)
 
         dn_s = jnp.roll(diff, 1, axis=0)      # dn(i,j-1)
         cs0 = jnp.where((j == 1)[:, None], 0.0, dn_s)
@@ -372,16 +379,28 @@ class EmbmModel:
         return cc, cn, cs, ce, cw
 
     def solve_tracer(self, rhs, guess, coefs, tol, maxiter):
-        """BiCGSTAB on the 5-point transport operator.
+        """BiCGSTAB on the ROW-EQUILIBRATED 5-point transport operator.
 
         Uses the breakdown-guarded solver (ops/solvers.bicgstab_safe):
         jax.scipy's bicgstab divides by rho/omega unguarded, and on
         TPU a flushed-to-zero f32 dot product mid-iteration poisons
-        the whole fused coupled-segment program with NaNs."""
+        the whole fused coupled-segment program with NaNs.
+
+        Row equilibration (solve D^-1 A x = D^-1 b with D = diag(A)):
+        near the poles the 1/cos^2 metric makes cc ~ 4e3 while midlat
+        rows are ~1, so an unweighted residual norm lets the solver
+        "converge" with O(1) equation errors at the polar rows — in f32
+        that drove a runaway polar cooling once row 1 became an active
+        equation (round-5 conservation fix).  Scaling every equation by
+        its diagonal makes the stopping criterion uniform across rows;
+        the operator itself is unchanged."""
         from ...ops.solvers import bicgstab_safe
-        mv = partial(self._transport_matvec, coefs=coefs)
-        M = lambda r: r / coefs[0]
-        rhs = rhs.at[:, 0].set(0.0).at[:, -1].set(0.0)
+        cc, cn, cs, ce, cw = coefs
+        d = 1.0 / cc
+        sc = (jnp.ones_like(cc), cn * d, cs * d, ce * d, cw * d)
+        mv = partial(self._transport_matvec, coefs=sc)
+        M = lambda r: r
+        rhs = (rhs * d).at[:, 0].set(0.0).at[:, -1].set(0.0)
         guess = guess.at[:, 0].set(0.0).at[:, -1].set(0.0)
         x = bicgstab_safe(mv, rhs, guess, M, tol, maxiter)
         return self._bc(x)
