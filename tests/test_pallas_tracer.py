@@ -111,3 +111,37 @@ def test_pallas_tracer_iso_fluxform():
              src + iso_tend, c2dtts * g.dtxcel, m.tmask, m.kmt)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-11, atol=1e-11)
+
+
+def test_pallas_tracer_iso_weights_in_kernel():
+    """Round-5 perf path: the 18-slot weight pack applied INSIDE the
+    kernel (has_iso=True) reproduces the full tracer_step iso path —
+    same reference as the source-fed split, no XLA iso tendency."""
+    m, (t0, tm1, vet, vnt, vbt, stf, btf, src) = _setup(isopyc=True)
+    g = m.g
+    cfg = m.cfg.ocean
+    c2dtts = 2 * cfg.dtts
+
+    from uvic_tpu.models.ocean.isopyc import (compute_isopyc,
+                                              iso_weight_pack,
+                                              iso_weight_stack)
+    iso = compute_isopyc(tm1, m.tmask, m.kmt, m.eos_c, m.eos_to,
+                         m.eos_so, g, cfg, True, addisop=m.addisop)
+    diff_cbt = m.diff_cbt + iso.K33
+    vet_t = vet + iso.vetiso
+    vnt_t = vnt + iso.vntiso
+    vbt_t = vbt + iso.vbtiso
+
+    ref = tracer_step(t0, tm1, vet_t, vnt_t, vbt_t, stf, btf, src,
+                      diff_cbt, m.kmt, m.tmask, g, c2dtts, "fct",
+                      cfg.aidif, True, iso=iso, hmix=None)
+
+    isow = iso_weight_stack(iso_weight_pack(iso, g))
+    fn = make_fct_tracer_step(
+        m.nt, t0.shape[1], t0.shape[2], t0.shape[3], g,
+        cfg.ah, cfg.aidif, ydiff_fluxform=True, has_src=True,
+        dtype=t0.dtype, interpret=True, has_iso=True)
+    got = fn(t0, tm1, vet_t, vnt_t, vbt_t, diff_cbt, stf, btf, src,
+             c2dtts * g.dtxcel, m.tmask, m.kmt, isow=isow)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-9, atol=1e-11)

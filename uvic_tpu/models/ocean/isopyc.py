@@ -670,6 +670,20 @@ def iso_weight_pack(iso: IsopycFields, g):
                 k22c=iso.K22 * (g.csu * g.dyur)[None, :, None])
 
 
+def iso_weight_stack(wp):
+    """(18, km, jmt, imt) stack of the weight pack in the Pallas
+    tracer kernel's slot order (ops/pallas_tracer._kernel has_iso):
+    0..3 we[ip][kr], 4..7 wn[jq][kr], 8..11 wbx ordered
+    ([0][0],[1][0],[0][1],[1][1]), 12..15 wby (same order),
+    16 k11c, 17 k22c."""
+    we, wn, wbx, wby = wp["we"], wp["wn"], wp["wbx"], wp["wby"]
+    return jnp.stack([we[0][0], we[0][1], we[1][0], we[1][1],
+                      wn[0][0], wn[0][1], wn[1][0], wn[1][1],
+                      wbx[0][0], wbx[1][0], wbx[0][1], wbx[1][1],
+                      wby[0][0], wby[1][0], wby[0][1], wby[1][1],
+                      wp["k11c"], wp["k22c"]])
+
+
 def iso_tendency(t, wp, tmask, g, cyclic=True):
     """Redi/GM flux-divergence tendency for all tracers from the
     weight pack (algebraically identical to isoflux + the divergence

@@ -345,14 +345,22 @@ class OceanModel:
                 and not cfg.ocean.fct_3d \
                 and cfg.ocean.hmix == "const":
             from ...ops.pallas_tracer import make_fct_tracer_step
+            # the Redi/GM tendency is applied INSIDE the kernel from
+            # the 18-slot weight pack (round 5); `source` only carries
+            # bgc/penetrative-SW terms now.  UVIC_ISO_SRC=1 falls back
+            # to the round-4 source-fed split (A/B escape hatch).
+            self._iso_in_kernel = (cfg.ocean.isopycmix
+                                   and os.environ.get("UVIC_ISO_SRC")
+                                   != "1")
             has_src = (self.npzd is not None
                        or self.divpen is not None
-                       or cfg.ocean.isopycmix)
+                       or (cfg.ocean.isopycmix
+                           and not self._iso_in_kernel))
             self.pallas_tracer = make_fct_tracer_step(
                 self.nt, km, jmt, imt, self.g, cfg.ocean.ah,
                 cfg.ocean.aidif if cfg.ocean.isopycmix else 0.0,
                 ydiff_fluxform=cfg.ocean.isopycmix, has_src=has_src,
-                dtype=jnp.float32)
+                dtype=jnp.float32, has_iso=self._iso_in_kernel)
 
         # Built whenever the kernel can lower; the sharded explicit-halo
         # path (parallel/shard_step.py) runs it REPLICATED inside a
@@ -581,21 +589,28 @@ class OceanModel:
         # tracer step (tracer.F): fused Pallas kernel on TPU, XLA
         # whole-domain graph otherwise (identical numerics, tested)
         if self.pallas_tracer is not None and hmix_t is None:
-            if iso is not None:
-                # Redi flux divergence folded in as an extra tendency
-                # (linear split of the tracer.F:711-727 diffusion).
-                # Weight-folded form: every tracer-independent factor
-                # (Ai * drodh/(drodz+eps), metric prefactors, boundary
-                # zeroings) is precomputed ONCE per step, collapsing
-                # the nt-batched work from ~80 to ~35 elementwise ops
-                # (tested identical to isoflux in test_isopyc.py)
+            isow = None
+            if iso is not None and self._iso_in_kernel:
+                # Redi flux divergence applied INSIDE the VMEM pass:
+                # every tracer-independent factor (Ai*drodh/(drodz+eps),
+                # metric prefactors, boundary zeroings) is folded into
+                # an 18-slot weight pack computed ONCE per step; the
+                # per-tracer work is ~35 shift-FMA VMEM ops instead of
+                # an nt-batched XLA roll cascade through HBM (tested
+                # identical to isoflux in test_isopyc.py /
+                # test_pallas_tracer.py)
+                from .isopyc import iso_weight_pack, iso_weight_stack
+                isow = iso_weight_stack(iso_weight_pack(iso, g))
+            elif iso is not None:
                 from .isopyc import iso_tendency, iso_weight_pack
                 iso_tend = iso_tendency(tm1, iso_weight_pack(iso, g),
                                         self.tmask, g, self.cyclic)
-                source = iso_tend if source is None else source + iso_tend
+                source = iso_tend if source is None \
+                    else source + iso_tend
             t_new = self.pallas_tracer(
                 t_tau, tm1, vet_t, vnt_t, vbt_t, diff_cbt, stf, btf,
-                source, c2dtts * g.dtxcel, self.tmask, self.kmt)
+                source, c2dtts * g.dtxcel, self.tmask, self.kmt,
+                isow=isow)
         else:
             t_new = tracer_step(
                 t_tau, tm1, vet_t, vnt_t, vbt_t, stf, btf, source,

@@ -84,9 +84,9 @@ def _limit(anti, cpos, cneg):
 
 
 def _kernel(t_tau_ref, tm1_ref, vet_ref, vnt_ref, vbt_ref, tmask_ref,
-            dcb_ref, stf_ref, btf_ref, src_ref, kfac_ref, jif_ref,
-            kmt_ref, out_ref, *, km, jmt, imt, aidif, has_src,
-            ydiff_fluxform):
+            dcb_ref, stf_ref, btf_ref, src_ref, isow_ref, kfac_ref,
+            jif_ref, kmt_ref, out_ref, *, km, jmt, imt, aidif, has_src,
+            ydiff_fluxform, has_iso):
     f32 = t_tau_ref.dtype
     t0 = t_tau_ref[0]
     tm = tm1_ref[0]
@@ -219,6 +219,43 @@ def _kernel(t_tau_ref, tm1_ref, vet_ref, vnt_ref, vbt_ref, tmask_ref,
     fb_above = _set_k(_UP(diff_fb), 0, stf)
     tend = tend + (fb_above - diff_fb) * dztr * (1.0 - aidif)
 
+    if has_iso:
+        # ---- Redi/GM isopycnal tendency from the 18-slot weight pack
+        # (isopyc.iso_tendency folded into the VMEM pass; the weights
+        # are tracer-independent, computed once per step, and fetched
+        # once per kernel call — the per-tracer work here is ~35
+        # shift-FMA VMEM ops instead of an nt-batched XLA roll cascade
+        # through HBM).  Layout (see model.py _ISO_SLOTS):
+        #   0..3  we[ip][kr]   4..7  wn[jq][kr]
+        #   8..11 wbx[ip][kr] 12..15 wby[jq][kr]   16 k11c  17 k22c
+        iw = isow_ref[:]
+        tEm = _E(tm)
+        tNm = _N(tm)
+        tDNm = _DN(tm)
+
+        def vd0(f):        # vdiff kr=0: UP(f) - f (weights zero k=0)
+            return _UP(f) - f
+
+        def vd1(f):        # vdiff kr=1: f - DN(f) (weights zero km-1)
+            return f - _DN(f)
+
+        fe_i = (iw[16] * (tEm - tm)
+                - iw[0] * vd0(tm) - iw[1] * vd1(tm)
+                - iw[2] * vd0(tEm) - iw[3] * vd1(tEm))
+        fn_i = (iw[17] * (tNm - tm)
+                - iw[4] * vd0(tm) - iw[5] * vd1(tm)
+                - iw[6] * vd0(tNm) - iw[7] * vd1(tNm))
+        fb_i = -(iw[8] * (tm - _W(tm)) + iw[9] * (tEm - tm)
+                 + iw[10] * (tDNm - _W(tDNm))
+                 + iw[11] * (_E(tDNm) - tDNm)
+                 + iw[12] * (tm - _S(tm)) + iw[13] * (tNm - tm)
+                 + iw[14] * (tDNm - _S(tDNm))
+                 + iw[15] * (_N(tDNm) - tDNm))
+        tend = tend + (fe_i * _E(tmask) - _W(fe_i) * _W(tmask)) \
+            * cstdxtr
+        tend = tend + (fn_i * _N(tmask) - _S(fn_i) * _S(tmask)) * yB
+        tend = tend + (_UP(fb_i) - fb_i) * dztr
+
     if has_src:
         tend = tend + src_ref[0]
 
@@ -263,15 +300,21 @@ def _kernel(t_tau_ref, tm1_ref, vet_ref, vnt_ref, vbt_ref, tmask_ref,
 
 def make_fct_tracer_step(nt, km, jmt, imt, grid_np, ah, aidif,
                          ydiff_fluxform, has_src, dtype=jnp.float32,
-                         interpret=False):
+                         interpret=False, has_iso=False):
     """Build the fused tracer step.
 
     grid_np : host bag with numpy grid factors (model.g works)
     Returns fn(t_tau, tm1, vet, vnt, vbt, diff_cbt, stf, btf, source,
-               twodt_k, tmask, kmt) -> t_new   [(nt, km, jmt, imt)]
+               twodt_k, tmask, kmt[, isow]) -> t_new
+               [(nt, km, jmt, imt)]
     twodt_k is the runtime (km,) leapfrog interval * dtxcel (traced —
     run_scan selects it per step).
+    has_iso: accept an (18, km, jmt, imt) isopycnal weight pack
+    (isopyc.iso_weight_pack stacked per _ISO_SLOTS) and apply the
+    Redi/GM tendency inside the VMEM pass.
     """
+    if has_iso:
+        assert ydiff_fluxform, "iso weights require flux-form y-diff"
     g = grid_np
 
     def np1(x):
@@ -305,7 +348,8 @@ def make_fct_tracer_step(nt, km, jmt, imt, grid_np, ah, aidif,
 
     kern = partial(_kernel, km=km, jmt=jmt, imt=imt, aidif=float(aidif),
                    has_src=bool(has_src),
-                   ydiff_fluxform=bool(ydiff_fluxform))
+                   ydiff_fluxform=bool(ydiff_fluxform),
+                   has_iso=bool(has_iso))
 
     full3 = pl.BlockSpec((km, jmt, imt), lambda n: (0, 0, 0))
     per_n4 = pl.BlockSpec((1, km, jmt, imt), lambda n: (n, 0, 0, 0))
@@ -313,12 +357,22 @@ def make_fct_tracer_step(nt, km, jmt, imt, grid_np, ah, aidif,
     full2 = pl.BlockSpec((jmt, imt), lambda n: (0, 0))
     kfac_spec = pl.BlockSpec((6, km, 1, imt), lambda n: (0, 0, 0, 0))
     jif_spec = pl.BlockSpec((6, jmt, imt), lambda n: (0, 0, 0))
+    isow_spec = pl.BlockSpec((18, km, jmt, imt), lambda n: (0, 0, 0, 0))
+
+    # the (18, km, jmt, imt) weight pack is only an input when the iso
+    # fold is active — a zeros placeholder would still cost a ~14 MB
+    # HBM fetch per call otherwise
+    if has_iso:
+        mid_specs = [isow_spec]
+    else:
+        mid_specs = [pl.BlockSpec((1, 1, 1, 1), lambda n: (0, 0, 0, 0))]
 
     call = pl.pallas_call(
         kern,
         grid=(nt,),
         in_specs=[per_n4, per_n4, full3, full3, full3, full3, full3,
-                  per_n3, per_n3, per_n4, kfac_spec, jif_spec, full2],
+                  per_n3, per_n3, per_n4] + mid_specs
+        + [kfac_spec, jif_spec, full2],
         out_specs=per_n4,
         out_shape=jax.ShapeDtypeStruct((nt, km, jmt, imt), dtype),
         compiler_params=pltpu.CompilerParams(
@@ -329,17 +383,19 @@ def make_fct_tracer_step(nt, km, jmt, imt, grid_np, ah, aidif,
     )
 
     def fn(t_tau, tm1, vet, vnt, vbt, diff_cbt, stf, btf, source,
-           twodt_k, tmask, kmt):
+           twodt_k, tmask, kmt, isow=None):
         kfac = kfac_static.at[0].set(
             jnp.broadcast_to(twodt_k.astype(dtype)[:, None, None],
                              (km, 1, imt)))
         if source is None:
             source = jnp.zeros_like(t_tau)
+        if isow is None:
+            isow = jnp.zeros((1, 1, 1, 1), dtype)
         return call(t_tau.astype(dtype), tm1.astype(dtype),
                     vet.astype(dtype), vnt.astype(dtype),
                     vbt.astype(dtype), tmask.astype(dtype),
                     diff_cbt.astype(dtype), stf.astype(dtype),
-                    btf.astype(dtype), source.astype(dtype), kfac,
-                    jif, kmt.astype(dtype))
+                    btf.astype(dtype), source.astype(dtype),
+                    isow.astype(dtype), kfac, jif, kmt.astype(dtype))
 
     return fn
