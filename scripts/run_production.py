@@ -66,8 +66,22 @@ def main():
         state = run.load(state)
         print(f"resumed at {run.tm.stamp()}")
     elif args.from_restart:
+        import json
+        import os
+
         from uvic_tpu.io.restart import load_restart
         state = load_restart(args.from_restart, state)
+        # ADVICE r4: restore the seasonal phase too — a mid-season
+        # spinup checkpoint restarted at year-start would see a
+        # season/state mismatch transient
+        metap = os.path.join(os.path.dirname(args.from_restart),
+                             "restart_meta.json")
+        if os.path.exists(metap):
+            with open(metap) as f:
+                relyr = json.load(f).get("relyr")
+            if relyr is not None:
+                model.relyr = relyr
+                run.tm.days = relyr * run.tm.yrlen
         print(f"seeded from {args.from_restart}")
 
     yrlen = 360.0 if cfg.time.eqyear else 365.0

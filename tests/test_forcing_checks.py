@@ -216,10 +216,11 @@ def test_checks_new_rules():
     with pytest.raises(ConfigError, match="cpts"):
         validate(cfg.replace(ice=dataclasses.replace(cfg.ice, cpts=4)))
 
-    # tidal_kv without isopycmix is flagged INERT
-    w = validate(o(tidal_kv=True, isopycmix=False,
+    # tidal_kv without isopycmix is fatal (checks.F:303-306; was a
+    # round-4 INERT warning, upgraded to the reference's error)
+    with pytest.raises(ConfigError, match="tidal_kv"):
+        validate(o(tidal_kv=True, isopycmix=False,
                    gent_mcwilliams=False))
-    assert any("INERT" in s for s in w)
     # accel warning
     w = validate(o(dtxcel_deep=3.0))
     assert any("distorts transients" in s for s in w)
@@ -239,3 +240,55 @@ def test_checks_new_rules():
     # a sane mesh passes
     validate(cfg.replace(parallel=dataclasses.replace(
         cfg.parallel, mesh_shape=(2, 2))))
+
+
+def test_checks_round5_rules():
+    """Round-5 checks.F breadth: scheme-conflict errors upgraded to the
+    reference's fatality, grid geometry, acceleration-vs-seasonal,
+    sediment coupling, bgc substep divisibility."""
+    import dataclasses
+    import pytest
+    from uvic_tpu.checks import ConfigError, validate
+    from uvic_tpu.config import ModelConfig, SedConfig
+
+    cfg = ModelConfig()
+
+    def o(**kw):
+        return cfg.replace(ocean=dataclasses.replace(cfg.ocean, **kw))
+
+    # scheme conflicts (checks.F:296-312, 398-403)
+    with pytest.raises(ConfigError, match="biharmonic"):
+        validate(o(hmix="biharmonic"))
+    with pytest.raises(ConfigError, match="gent_mcwilliams"):
+        validate(o(isopycmix=False, gent_mcwilliams=True,
+                   tidal_kv=False))
+    with pytest.raises(ConfigError, match="too large"):
+        validate(o(ahisop=2.0e11))
+
+    # grid geometry (grids.F / size_check.F analog)
+    with pytest.raises(ConfigError, match="360 degrees"):
+        validate(cfg.replace(grid=dataclasses.replace(
+            cfg.grid, x_bounds=(0.0, 350.0))))
+
+    # acceleration + seasonal forcing (accel.h / Bryan 1984)
+    w = validate(cfg.replace(
+        ocean=dataclasses.replace(cfg.ocean, dtxcel_deep=3.0),
+        embm=dataclasses.replace(cfg.embm, seasonal=True)))
+    assert any("seasonal" in s for s in w)
+
+    # sediments need the carbon system (sed.F)
+    with pytest.raises(ConfigError, match="carbon system"):
+        validate(cfg.replace(sed=SedConfig(enabled=True)))
+
+    # ppmix + explicit vertical diffusion warns (vmixc.F aidif)
+    w = validate(o(vmix="ppmix", aidif=0.0))
+    assert any("ppmix" in s for s in w)
+
+    # runlen rounding (UVic_ESCM.F:655-663)
+    w = validate(cfg.replace(time=dataclasses.replace(
+        cfg.time, runlen_days=12.5)))
+    assert any("runlen" in s for s in w)
+
+    # float64 platform guidance
+    w = validate(cfg.replace(dtype="float64"))
+    assert any("float64" in s for s in w)

@@ -83,6 +83,29 @@ def test_convection_stable_profile_untouched():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ts), atol=1e-14)
 
 
+def test_convct_full_pallas_apply():
+    """The VMEM region-mean apply kernel (interpret mode) reproduces
+    the XLA einsum path elementwise, including varying kmt, partial
+    instabilities, and multiple tracers."""
+    km, eos, dz = _conv_setup()
+    jmt = imt = 5
+    rng = np.random.default_rng(11)
+    kmt = jnp.asarray(rng.integers(0, km + 1, size=(jmt, imt)),
+                      dtype=jnp.int32)
+    nt = 4
+    t = np.zeros((nt, km, jmt, imt))
+    t[0] = 10.0 + 3.0 * rng.standard_normal((km, jmt, imt))
+    t[1] = 1e-3 * rng.standard_normal((km, jmt, imt))
+    t[2:] = rng.standard_normal((nt - 2, km, jmt, imt))
+    ts = jnp.asarray(t)
+    args = (kmt, jnp.asarray(eos.c), jnp.asarray(eos.to),
+            jnp.asarray(eos.so), dz)
+    ref = convct_full(ts, *args)
+    got = convct_full(ts, *args, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_upstream_flux_divergence_conserves():
     # closed basin, uniform tracer: fluxes must produce zero tendency
     km, jmt, imt = 3, 6, 6

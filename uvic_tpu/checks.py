@@ -129,11 +129,46 @@ def validate(cfg: ModelConfig) -> List[str]:
     if o.hmix not in ("const", "smagnl", "biharmonic"):
         errors.append(f"unknown hmix scheme '{o.hmix}'")
     if o.isopycmix and o.hmix == "biharmonic":
-        warnings.append("isopycmix + biharmonic: the reference warns "
-                        "this combination is untested (checks.F:288)")
+        errors.append("biharmonic is incompatible with isopycmix — "
+                      "use smagnl instead (checks.F:296-300)")
     if getattr(o, "full_tensor", False) and not o.isopycmix:
         errors.append("O_full_tensor requires O_isopycmix "
                       "(isopyc.F:110-114)")
+    if o.tidal_kv and not o.isopycmix:
+        errors.append("isopycmix must be enabled for tidal_kv to work "
+                      "(checks.F:303-306)")
+    if o.gent_mcwilliams and not o.isopycmix:
+        errors.append("isopycmix must be enabled for gent_mcwilliams "
+                      "to work (checks.F:308-312)")
+    if o.isopycmix and o.hmix == "const" \
+            and (o.ah + o.ahisop) > 1.0e11:
+        errors.append("ahisop + ah too large for the isopycmix option "
+                      "(checks.F:398-403)")
+    if o.dm_taper and not o.isopycmix:
+        errors.append("O_dm_taper requires O_isopycmix (isopyc.F)")
+    if o.aniso_zonal and not o.isopycmix:
+        warnings.append("aniso_zonal equatorial diffusivity addition "
+                        "has no effect without isopycmix "
+                        "(updates/08 isopyc.F:243-260)")
+    if o.vmix == "ppmix" and o.aidif == 0.0:
+        warnings.append("ppmix with fully explicit vertical diffusion "
+                        "(aidif=0): predicted coefficients can exceed "
+                        "the explicit stability limit — the reference "
+                        "runs ppvmix with implicit mixing "
+                        "(vmixc.F aidif)")
+    if o.barotropic != "stream_function" and o.sf_npt == 5:
+        warnings.append("sf_5_point is ignored under the surface-"
+                        "pressure barotropic modes; 9-point numerics "
+                        "are used (checks.F:160-168)")
+    if o.convect_brine and not cfg.ice.enabled:
+        errors.append("O_convect_brine requires the ice model "
+                      "(convect_brine.F brine fluxes come from ice "
+                      "growth)")
+    if o.convect_brine and cfg.ice.cpts > 0:
+        errors.append("O_convect_brine requires the 0-layer ice model "
+                      "(cpts carries its own categories, cpts.F)")
+    if o.neptune and not o.enabled:
+        errors.append("O_neptune requires the ocean (neptune.F)")
 
     # --- scheme variants (checks.F:55-140 continued) -------------------
     if o.tracer_advection == "fct" and o.fct_variant not in ("dlm1",
@@ -152,11 +187,6 @@ def validate(cfg: ModelConfig) -> List[str]:
                       "(O_firfil | O_fourfil)")
     if not 0.0 <= o.aidif <= 1.0:
         errors.append("aidif must be in [0, 1] (checks.F aidif rule)")
-    if o.tidal_kv and not o.isopycmix:
-        warnings.append(
-            "O_tidal_kv without O_isopycmix is INERT: the tidal "
-            "diffusivity needs the isopycnal density gradients "
-            "(vmixc.F updates/08 runs inside the isopyc branch)")
     if o.convection not in ("ncon", "full"):
         errors.append(f"unknown convection scheme '{o.convection}'")
     if o.ncon < 1:
@@ -201,6 +231,94 @@ def validate(cfg: ModelConfig) -> List[str]:
             warnings.append("dtts is not a whole multiple of dtuv: "
                             "split stepping assumes an integer ratio")
 
+    # --- grid geometry (size_check.F / grids.F) ------------------------
+    if g.cyclic:
+        span_x = g.x_bounds[-1] - g.x_bounds[0]
+        if abs(span_x - 360.0) > 1e-6:
+            errors.append(f"cyclic grid must span 360 degrees of "
+                          f"longitude, got {span_x} (grids.F O_cyclic)")
+    if g.y_bounds[0] >= g.y_bounds[-1]:
+        errors.append("y_bounds must increase south to north (grids.F)")
+    if g.z_bounds[0] != 0.0:
+        errors.append("z_bounds must start at the surface (grids.F)")
+    if g.z_bounds[-1] <= g.z_bounds[0]:
+        errors.append("z_bounds must increase downward (grids.F)")
+
+    # --- timestep acceleration (accel.h / Bryan 1984) ------------------
+    if o.dtxcel_deep > 1.0 and cfg.embm.seasonal:
+        warnings.append(
+            "deep tracer acceleration (dtxcel_deep > 1) with seasonal "
+            "forcing: asynchronous stepping distorts the seasonal "
+            "response of the deep ocean and can push ice-albedo "
+            "feedbacks past their synchronous equilibria — use only "
+            "for coarse spinup, finish unaccelerated (Bryan 1984; "
+            "accel.h)")
+    if o.dtxcel_deep > 8.0:
+        warnings.append("dtxcel_deep > 8: deep advective CFL under "
+                        "acceleration has destabilized spun-up states "
+                        "(accel.h guidance)")
+
+    # --- ice model (ice.F / evp.F / cpts.F) ----------------------------
+    ic = cfg.ice
+    if ic.enabled:
+        if ic.evp and ic.ndte < 10:
+            warnings.append("EVP with ndte < 10 subcycles: elastic "
+                            "waves are under-damped (evp.F:36 default "
+                            "ndte=30)")
+        if ic.cpts > 0 and ic.nlay < 1:
+            errors.append("cpts ice needs nlay >= 1 enthalpy layers "
+                          "(cpts.F)")
+    elif cfg.embm.enabled:
+        warnings.append("EMBM without the ice model: polar oceans "
+                        "cannot form ice; SST clamps at freezing "
+                        "(embm.F expects O_ice)")
+
+    # --- land model (mtlm.F / UVic_ESCM.F:640-660 cadence) -------------
+    if cfg.land.enabled:
+        if not cfg.embm.enabled:
+            errors.append("MTLM requires the EMBM (mtlm.F surface "
+                          "exchange runs through the atm solve)")
+        if cfg.time.segtim_days > 0:
+            r5 = 360.0 / cfg.time.segtim_days
+            if abs(r5 - round(r5)) > 1e-6:
+                warnings.append(
+                    "TRIFFID couples per segment with gamma = 360d / "
+                    "segtim; a segment that does not divide the 360-"
+                    "day year biases the annual vegetation increment "
+                    "(UVic_ESCM.F:640-660 land cadence rule)")
+
+    # --- bgc <-> physics relations (npzd_src.F / gasbc.F) --------------
+    if b.suite != "none":
+        if b.dtnpzd > 0 and o.dtts > 0:
+            rb = (2.0 * o.dtts) / b.dtnpzd
+            if abs(rb - round(rb)) > 1e-6:
+                warnings.append(
+                    "dtnpzd does not divide the leapfrog tracer "
+                    "interval 2*dtts evenly; the source substep count "
+                    "is rounded (npzd_src.F nbio)")
+        if b.carbon and not b.alk:
+            warnings.append("carbon without alkalinity: surface pCO2 "
+                            "uses a fixed alk proxy — carbonate "
+                            "chemistry fidelity is reduced "
+                            "(co2calc.F expects alk)")
+        if b.cfc and b.suite == "none":
+            errors.append("cfc tracers need an active bgc tracer "
+                          "registry")
+
+    # --- sediments (sed.F) ---------------------------------------------
+    if cfg.sed.enabled:
+        if b.suite == "none" or not b.carbon:
+            errors.append("sediments require the carbon system "
+                          "(sed.F couples through dic/alk rain)")
+        if cfg.sed.dtsed <= 0:
+            errors.append("dtsed must be > 0 (sed.F)")
+
+    # --- precision / platform ------------------------------------------
+    if cfg.dtype == "float64":
+        warnings.append("float64 on TPU is emulated and an order of "
+                        "magnitude slower; the validated production "
+                        "policy is float32 (golden/precision study)")
+
     # --- output cadences round to whole segments (switch.F alarms) -----
     for name, iv in (("tsiint", cfg.time.tsiint),
                      ("timavgint", cfg.time.timavgint),
@@ -212,6 +330,22 @@ def validate(cfg: ModelConfig) -> List[str]:
                     f"{name} ({iv} d) is not a whole number of "
                     f"segments; the alarm fires on the next segment "
                     f"boundary (switch.F avg_alarm rounding)")
+            if iv < cfg.time.segtim_days:
+                warnings.append(
+                    f"{name} ({iv} d) is shorter than one segment "
+                    f"({cfg.time.segtim_days} d): the alarm fires "
+                    "every segment (UVic_ESCM.F:530-585 interval "
+                    "rules)")
+    if cfg.time.timavgint == 0.0:
+        warnings.append("timavgint = 0 implies no time-mean averaging "
+                        "(UVic_ESCM.F:541-544)")
+    if cfg.time.runlen_days > 0 and cfg.time.segtim_days > 0:
+        rr = cfg.time.runlen_days / cfg.time.segtim_days
+        if abs(rr - round(rr)) > 1e-6:
+            warnings.append(
+                "runlen_days is not a whole number of segments; the "
+                "run rounds to the next segment boundary "
+                "(UVic_ESCM.F:655-663 r4 rule)")
 
     # --- parallel: mesh divisibility + the halo law (size.h:80-100) ----
     p = cfg.parallel

@@ -650,7 +650,8 @@ class CoupledModel:
             acc0["cba"] = jnp.zeros((2,) + sst.shape, sst.dtype)
         # per-substep tavg accumulation (the reference accumulates
         # inside the step, embm_tavg; per-segment sampling aliases)
-        atav0 = dict(sat=z2, shum=z2, hice=z2, aice=z2, hsno=z2)
+        atav0 = dict(sat=z2, shum=z2, hice=z2, aice=z2, hsno=z2,
+                     soilm=z2, tice=z2)
 
         def atm_body(carry, _):
             atm_c, ice_c, cpts_c, acc_c, tav_c = carry
@@ -664,7 +665,9 @@ class CoupledModel:
                          shum=tav_c["shum"] + atm_n.at[1],
                          hice=tav_c["hice"] + ice_n.hice,
                          aice=tav_c["aice"] + ice_n.aice,
-                         hsno=tav_c["hsno"] + ice_n.hsno)
+                         hsno=tav_c["hsno"] + ice_n.hsno,
+                         soilm=tav_c["soilm"] + atm_n.soilm,
+                         tice=tav_c["tice"] + ice_n.tice)
             return (atm_n, ice_n, cpts_n, acc_n, tav_n), None
 
         (atm, ice, cpts_st, acc, atav), _ = jax.lax.scan(
@@ -677,8 +680,9 @@ class CoupledModel:
         for nm in ("precip", "evap", "runoff", "olr", "swr", "uplwr",
                    "upsens", "upltnt"):
             tavg_a[nm] = acc[nm] / at_n
-        tavg_a["soilm"] = atm.soilm
-        tavg_a["tice"] = ice.tice
+        # soilm/tice accumulate in the scan like every other row of the
+        # embm_tavg.F catalog (ADVICE r4: they were end-of-segment
+        # snapshots published in the time-mean stream)
         diag["tavg_atm"] = tavg_a
 
         swr_mean = acc["swr"] / acc["time"]

@@ -45,7 +45,13 @@ class StabilityMonitor:
             0.5 * np.asarray(g.dzw)[:km] / dtmax)[:, None, None] \
             * jnp.ones((1, jmt, imt))
 
-        # effective mixing coefficients for Reynolds/Peclet denominators
+        # effective mixing coefficients for Reynolds/Peclet denominators.
+        # APPROXIMATION (ADVICE r4): these are the static background
+        # fields — runtime additions (isopycnal K33, tidal-dissipation
+        # profile, PP shear mixing) are not included, and ahisop enters
+        # as plain horizontal diffusivity; Pe/Re triage figures are
+        # therefore conservative where mixing is state-dependent.
+        # Diagnostic-only: none of this feeds back on the model.
         if m.aniso_visc is not None:
             self.visc_e, self.visc_n = m.aniso_visc
         else:

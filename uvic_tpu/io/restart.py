@@ -13,6 +13,7 @@ interoperability lives in uvic_tpu.io.netcdf.
 
 from __future__ import annotations
 
+import warnings
 from typing import Any
 
 import jax
@@ -47,6 +48,7 @@ def load_restart(path: str, template: Any, time_manager=None):
     with np.load(path) as data:
         leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
         new_leaves = []
+        missing = []
         for pth, leaf in leaves:
             key = "/".join(str(getattr(p, "name", getattr(p, "idx", p)))
                            for p in pth)
@@ -59,6 +61,15 @@ def load_restart(path: str, template: Any, time_manager=None):
                 # value (the reference reads old restarts the same
                 # way — new prognostics spin up from their ICs)
                 new_leaves.append(leaf)
+                missing.append(key)
+        if missing:
+            # ADVICE r4: a renamed field or truncated restart must not
+            # silently cold-start prognostics
+            warnings.warn(
+                f"restart {path}: {len(missing)} state field(s) absent, "
+                f"keeping template values: {', '.join(missing[:8])}"
+                + (" ..." if len(missing) > 8 else ""),
+                stacklevel=2)
         state = jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(template), new_leaves)
         if time_manager is not None and "__itt" in data:

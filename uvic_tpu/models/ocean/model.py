@@ -632,7 +632,8 @@ class OceanModel:
                 c2dtts, float(self.params.grid.zw[0]))
         elif cfg.convection == Convection.FULL:
             t_new = convct_full(t_new, self.kmt, self.eos_c, self.eos_to,
-                                self.eos_so, self.dztxcl)
+                                self.eos_so, self.dztxcl,
+                                use_pallas=self.pallas_tracer is not None)
         else:
             t_new = convct_ncon(t_new, self.kmt, self.eos_c, self.eos_to,
                                 self.eos_so, self.dztxcl, cfg.ncon)

@@ -87,12 +87,55 @@ def _region_means(ts, label, w):
     return sum_tw / sum_w
 
 
-def convct_full(ts, kmt, eos_c, eos_to, eos_so, dztxcl, max_iter=None):
+def _apply_region_means_pallas(ts, mnorm, ocean, interpret=False):
+    """Apply the normalized region-mixing matrix to all tracers in one
+    VMEM-resident Pallas kernel: out[n, k] = sum_l M[k, l] * ts[n, l]
+    on ocean cells.
+
+    The XLA einsum formulation re-streams the (km, km, jmt, imt)
+    membership matrix per tracer batch and lowers to a layout-hostile
+    batched dot (batch dims minor); here M stays VMEM-resident across
+    the nt-grid and the contraction is km^2 unrolled tile FMAs per
+    tracer."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nt, km, jmt, imt = ts.shape
+
+    def kern(t_ref, m_ref, oc_ref, out_ref):
+        t = t_ref[0]
+        M = m_ref[:]
+        out = M[:, 0] * t[0][None]
+        for l in range(1, km):
+            out = out + M[:, l] * t[l][None]
+        out_ref[0] = jnp.where(oc_ref[:] > 0, out, t)
+
+    per_n4 = pl.BlockSpec((1, km, jmt, imt), lambda n: (n, 0, 0, 0))
+    full4 = pl.BlockSpec((km, km, jmt, imt), lambda n: (0, 0, 0, 0))
+    full3 = pl.BlockSpec((km, jmt, imt), lambda n: (0, 0, 0))
+    call = pl.pallas_call(
+        kern, grid=(nt,),
+        in_specs=[per_n4, full4, full3],
+        out_specs=per_n4,
+        out_shape=jax.ShapeDtypeStruct(ts.shape, ts.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret)
+    return call(ts, mnorm, ocean)
+
+
+def convct_full(ts, kmt, eos_c, eos_to, eos_so, dztxcl, max_iter=None,
+                use_pallas=False, interpret=False):
     """Complete convective adjustment (convct2 fixed point).
 
     Returns tracers with every column's final profile statically stable:
     any two vertically adjacent mixed regions are stable at their
     interface w.r.t. the interface reference level.
+
+    use_pallas: apply the final region means through the VMEM-resident
+    kernel (TPU perf path; numerics identical, see
+    tests/test_ops.py::test_convct_full_pallas_apply).
     """
     nt, km = ts.shape[0], ts.shape[1]
     if max_iter is None:
@@ -129,6 +172,15 @@ def convct_full(ts, kmt, eos_c, eos_to, eos_so, dztxcl, max_iter=None):
     label0 = jnp.broadcast_to(idx, ts.shape[1:]).astype(jnp.int32)
     label, _, _ = jax.lax.while_loop(
         cond, body, (label0, jnp.asarray(True), jnp.asarray(0)))
+    if use_pallas or interpret:
+        same = (label[:, None] == label[None, :]).astype(ts.dtype)
+        wfull = jnp.broadcast_to(w, ts.shape[1:])
+        sum_w = jnp.einsum("kl...,l...->k...", same, wfull)
+        mnorm = same * wfull[None] / sum_w[:, None]
+        return _apply_region_means_pallas(ts, mnorm,
+                                          jnp.broadcast_to(
+                                              ocean, ts.shape[1:]),
+                                          interpret=interpret)
     means = _region_means(ts, label, w)
     return jnp.where(ocean[None] > 0, means, ts)
 
