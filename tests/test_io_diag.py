@@ -270,3 +270,45 @@ def test_regions_setcom_machinery():
                              m.tmask)
     assert tb.shape == (5, 2)
     assert np.isfinite(np.asarray(tb)).all()
+
+
+def test_tavg_catalog_breadth_and_finiteness():
+    """mom_tavg.F/embm_tavg.F parity (VERDICT r4 #6): the per-segment
+    time-mean catalog carries >= 45 rows — state means, flux-bus means,
+    per-face advective/diffusive heat fluxes, GM bolus velocities,
+    effective vertical diffusivity, convection extent, ice velocity —
+    and every row is finite after a segment."""
+    import dataclasses
+
+    import numpy as np
+
+    from uvic_tpu.config import BgcConfig, small_config
+    from uvic_tpu.coupler.driver import CoupledModel
+
+    cfg = small_config()
+    cfg = cfg.replace(
+        ocean=dataclasses.replace(cfg.ocean, isopycmix=True,
+                                  gent_mcwilliams=True, dtts=43200.0,
+                                  dtuv=1800.0, dtsf=1800.0,
+                                  tolrsf=1e8),
+        bgc=BgcConfig(suite="npzd", carbon=True, alk=True, o2=True),
+        land=dataclasses.replace(cfg.land, enabled=True))
+    m = CoupledModel(cfg)
+    state = m.init_state()
+    state = m.run_segment(state)
+    rows = m.last_tavg
+    assert len(rows) >= 45, sorted(rows)
+    for name, v in rows.items():
+        arr = np.asarray(v)
+        assert np.isfinite(arr).all(), f"tavg row {name} not finite"
+    for required in ("temp", "salt", "u", "v", "w", "rho", "psi",
+                     "adv_fe_temp", "adv_fn_temp", "adv_fb_temp",
+                     "dif_fe_temp", "dif_fn_temp", "dif_fb_temp",
+                     "vetiso", "vntiso", "wbtiso", "diff_cbt_eff",
+                     "convect_depth", "convect_nreg", "hflx", "sflx",
+                     "taux", "tauy", "sat", "shum", "hice", "aice",
+                     "hsno", "uice", "vice", "soilm", "tice", "precip",
+                     "evap", "runoff", "olr", "swr", "uplwr", "upsens",
+                     "upltnt", "psno", "wspd", "toa_sw", "m_soil",
+                     "lying_snow", "tsoil", "cs", "veg_frac", "nep"):
+        assert required in rows, required

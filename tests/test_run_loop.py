@@ -39,7 +39,13 @@ def test_run_emits_tsi_tavg_restart(tmp_path):
     assert len(lines) == 1 + 4               # header + rows
     assert "o_tbar" in lines[0] and "nconv" in lines[0]
     # tavg written at day 20
-    assert glob.glob(str(tmp_path / "tavg_*.nc"))
+    assert glob.glob(str(tmp_path / "tavg*.nc"))
+    # records append along the UNLIMITED time dimension (one stream
+    # file per run, round-5 netcdf.py)
+    from uvic_tpu.io.netcdf import read_var
+    tavg_files = glob.glob(str(tmp_path / "tavg*.nc"))
+    trec = read_var(tavg_files[0], "time")
+    assert trec.ndim == 1 and len(trec) >= 1
     # restart written (restint and end of run)
     assert (tmp_path / "restart.npz").exists()
     assert (tmp_path / "run_summary.json").exists()

@@ -651,7 +651,7 @@ class CoupledModel:
         # per-substep tavg accumulation (the reference accumulates
         # inside the step, embm_tavg; per-segment sampling aliases)
         atav0 = dict(sat=z2, shum=z2, hice=z2, aice=z2, hsno=z2,
-                     soilm=z2, tice=z2)
+                     soilm=z2, tice=z2, uice=z2, vice=z2)
 
         def atm_body(carry, _):
             atm_c, ice_c, cpts_c, acc_c, tav_c = carry
@@ -667,7 +667,9 @@ class CoupledModel:
                          aice=tav_c["aice"] + ice_n.aice,
                          hsno=tav_c["hsno"] + ice_n.hsno,
                          soilm=tav_c["soilm"] + atm_n.soilm,
-                         tice=tav_c["tice"] + ice_n.tice)
+                         tice=tav_c["tice"] + ice_n.tice,
+                         uice=tav_c["uice"] + ice_n.uice[0],
+                         vice=tav_c["vice"] + ice_n.uice[1])
             return (atm_n, ice_n, cpts_n, acc_n, tav_n), None
 
         (atm, ice, cpts_st, acc, atav), _ = jax.lax.scan(
@@ -678,7 +680,7 @@ class CoupledModel:
         # OLR, absorbed SW, surface turbulent/longwave fluxes)
         at_n = acc["time"]
         for nm in ("precip", "evap", "runoff", "olr", "swr", "uplwr",
-                   "upsens", "upltnt"):
+                   "upsens", "upltnt", "psno", "wspd", "toa_sw"):
             tavg_a[nm] = acc[nm] / at_n
         # soilm/tice accumulate in the scan like every other row of the
         # embm_tavg.F catalog (ADVICE r4: they were end-of-segment
@@ -797,13 +799,11 @@ class CoupledModel:
         # ---- ocean substeps as one scan (mom.F leapfrog control) ------
         nmix = self.cfg.ocean.nmix
         g = self.ocean.g
+        z3 = jnp.zeros_like(state.ocean.t[0])
         otav0 = dict(
-            temp=jnp.zeros_like(state.ocean.t[0]),
-            salt=jnp.zeros_like(state.ocean.t[1]),
-            u=jnp.zeros_like(state.ocean.t[0]),
-            v=jnp.zeros_like(state.ocean.t[0]),
-            w=jnp.zeros_like(state.ocean.t[0]),
-            rho=jnp.zeros_like(state.ocean.t[0]),
+            temp=z3, salt=z3, u=z3, v=z3, w=z3, rho=z3,
+            adv_fe_temp=z3, adv_fn_temp=z3, adv_fb_temp=z3,
+            dif_fe_temp=z3, dif_fn_temp=z3, dif_fb_temp=z3,
             psi=jnp.zeros_like(state.ocean.psi0))
         if self.ocean.nt > 2:
             otav0["surf_tracers"] = jnp.zeros_like(state.ocean.t[:, 0])
@@ -817,15 +817,37 @@ class CoupledModel:
             uf = self.ocean.full_velocity(oc.u, oc.psi0)
             from ..models.ocean.kernels import adv_vel
             from ..models.ocean.model import eos_state_from
-            _, _, vbt, *_ = adv_vel(uf[0], uf[1], self.ocean.g,
-                                    self.ocean.cyclic)
+            from ..ops.stencil import DN, E, N
+            vet, vnt, vbt, *_ = adv_vel(uf[0], uf[1], self.ocean.g,
+                                        self.ocean.cyclic)
             rho = eos_state_from(self.ocean.eos_c, self.ocean.eos_to,
                                  self.ocean.eos_so, oc.t)
+            # per-face advective + diffusive TEMPERATURE fluxes
+            # (mom_tavg.F O_save_* per-face flux rows; saved for the
+            # heat tracer — the full per-tracer family would re-create
+            # the HBM cascade the fused kernel removed)
+            og = self.ocean.g
+            tT = oc.t[0]
+            adv_fe = vet * (tT + E(tT))
+            adv_fn = vnt * (tT + N(tT))
+            adv_fb = vbt * (tT + DN(tT))
+            dif_fe = self.cfg.ocean.ah * og.cstdxur[None] * (E(tT) - tT)
+            dif_fn = (self.cfg.ocean.ah
+                      * (og.csu * og.dyur)[None, :, None]
+                      * (N(tT) - tT))
+            dif_fb = self.ocean.diff_cbt * og.dzwr[1:][:, None, None] \
+                * (tT - DN(tT))
             tav_n = dict(temp=tav_c["temp"] + oc.t[0],
                          salt=tav_c["salt"] + oc.t[1],
                          u=tav_c["u"] + uf[0], v=tav_c["v"] + uf[1],
                          w=tav_c["w"] + vbt,
                          rho=tav_c["rho"] + rho,
+                         adv_fe_temp=tav_c["adv_fe_temp"] + adv_fe,
+                         adv_fn_temp=tav_c["adv_fn_temp"] + adv_fn,
+                         adv_fb_temp=tav_c["adv_fb_temp"] + adv_fb,
+                         dif_fe_temp=tav_c["dif_fe_temp"] + dif_fe,
+                         dif_fn_temp=tav_c["dif_fn_temp"] + dif_fn,
+                         dif_fb_temp=tav_c["dif_fb_temp"] + dif_fb,
                          psi=tav_c["psi"] + oc.psi0)
             if "surf_tracers" in tav_c:
                 tav_n["surf_tracers"] = tav_c["surf_tracers"] \
@@ -834,14 +856,9 @@ class CoupledModel:
 
         (ocean, otav), _ = jax.lax.scan(
             ocean_body, (state.ocean, otav0), None, length=self.ntspos)
-        tavg_o = {
-            "temp": otav["temp"] / self.ntspos,
-            "salt": otav["salt"] / self.ntspos * 1000.0 + 35.0,
-            "u": otav["u"] / self.ntspos,
-            "v": otav["v"] / self.ntspos,
-            "w": otav["w"] / self.ntspos,
-            "rho": otav["rho"] / self.ntspos,
-            "psi": otav["psi"] / self.ntspos}
+        tavg_o = {k: v / self.ntspos for k, v in otav.items()
+                  if k != "surf_tracers"}
+        tavg_o["salt"] = tavg_o["salt"] * 1000.0 + 35.0
         if "surf_tracers" in otav:
             names = [tr.name for tr in self.ocean.tracer_index.tracers]
             surf = otav["surf_tracers"] / self.ntspos
@@ -869,6 +886,22 @@ class CoupledModel:
             tavg_o["vetiso"] = iso_d.vetiso
             tavg_o["vntiso"] = iso_d.vntiso
             tavg_o["wbtiso"] = iso_d.vbtiso
+            # effective vertical tracer diffusivity incl. the
+            # isopycnal K33 (mom_tavg.F vdiff-coefficient row; the
+            # tidal/PP additions are applied in-step and noted as
+            # excluded in diag/stability.py)
+            tavg_o["diff_cbt_eff"] = self.ocean.diff_cbt + iso_d.K33
+        # convective-adjustment extent (O_save_convection analog):
+        # surface-connected mixed depth + stable-region count from the
+        # end-of-segment profile
+        if self.cfg.ocean.convection == "full":
+            from ..ops.convection import convection_extent
+            cdep, cnreg = convection_extent(
+                ocean.t, self.ocean.kmt, self.ocean.eos_c,
+                self.ocean.eos_to, self.ocean.eos_so,
+                self.ocean.dztxcl, jnp.asarray(self.ocean.g.dzt))
+            tavg_o["convect_depth"] = cdep
+            tavg_o["convect_nreg"] = cnreg.astype(cdep.dtype)
         diag["tavg_ocean"] = tavg_o
         return CoupledState(ocean=ocean, atm=atm, ice=ice, land=land,
                             sed=state.sed, cpts=cpts_st), diag

@@ -153,6 +153,9 @@ class Run:
         if not fields:
             return
         self._tavg_n += 1
-        path = os.path.join(self.outdir, f"tavg_{self._tavg_n:04d}.nc")
-        write_tavg(path, self.m.grid, fields, self.tm.days)
-        self._log(f"tavg written: {path}")
+        # one stream file per run, records appended along the UNLIMITED
+        # time dimension (mom_tavg.F/def_files.F single-file behavior)
+        path = os.path.join(self.outdir, "tavg.nc")
+        write_tavg(path, self.m.grid, fields, self.tm.days,
+                   append=self._tavg_n > 1)
+        self._log(f"tavg record {self._tavg_n} written: {path}")

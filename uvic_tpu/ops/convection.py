@@ -125,19 +125,12 @@ def _apply_region_means_pallas(ts, mnorm, ocean, interpret=False):
     return call(ts, mnorm, ocean)
 
 
-def convct_full(ts, kmt, eos_c, eos_to, eos_so, dztxcl, max_iter=None,
-                use_pallas=False, interpret=False):
-    """Complete convective adjustment (convct2 fixed point).
-
-    Returns tracers with every column's final profile statically stable:
-    any two vertically adjacent mixed regions are stable at their
-    interface w.r.t. the interface reference level.
-
-    use_pallas: apply the final region means through the VMEM-resident
-    kernel (TPU perf path; numerics identical, see
-    tests/test_ops.py::test_convct_full_pallas_apply).
-    """
-    nt, km = ts.shape[0], ts.shape[1]
+def _stable_labels(ts, kmt, eos_c, eos_to, eos_so, dztxcl,
+                   max_iter=None):
+    """Fixed-point region labels of the complete-removal scheme
+    (convct2): label[k] = top level index of the statically-stable
+    mixed region containing level k."""
+    km = ts.shape[1]
     if max_iter is None:
         max_iter = km
     w = dztxcl.reshape(km, 1, 1)
@@ -150,8 +143,8 @@ def convct_full(ts, kmt, eos_c, eos_to, eos_so, dztxcl, max_iter=None,
     def body(carry):
         label, _, it = carry
         means = _region_means(ts[:2], label, w)    # (2, km, j, i)
-        # interface above level s (s = region start > 0): upper region mean
-        # is at s-1, lower at s; reference coefficients of level s
+        # interface above level s (s = region start > 0): upper region
+        # mean is at s-1, lower at s; reference coefficients of level s
         mt_up = jnp.concatenate([means[0, :1], means[0, :-1]], axis=0)
         ms_up = jnp.concatenate([means[1, :1], means[1, :-1]], axis=0)
         rho_up = dens(cc, mt_up - to, ms_up - so)
@@ -172,6 +165,46 @@ def convct_full(ts, kmt, eos_c, eos_to, eos_so, dztxcl, max_iter=None,
     label0 = jnp.broadcast_to(idx, ts.shape[1:]).astype(jnp.int32)
     label, _, _ = jax.lax.while_loop(
         cond, body, (label0, jnp.asarray(True), jnp.asarray(0)))
+    return label
+
+
+def convection_extent(ts, kmt, eos_c, eos_to, eos_so, dztxcl, dzt):
+    """Diagnostic: (depth_cm, nregions) of convective mixing per column
+    (mom_tavg.F O_save_convection excnv/ventilation rows).
+
+    depth_cm  : thickness of the surface-connected mixed region
+    nregions  : number of distinct stable regions shallower than the
+                bottom (km - merges; a fully stratified column returns
+                its ocean level count)
+    """
+    km = ts.shape[1]
+    label = _stable_labels(ts, kmt, eos_c, eos_to, eos_so, dztxcl)
+    idx = jnp.arange(km).reshape(km, 1, 1)
+    ocean = idx < kmt[None]
+    in_surf = (label == 0) & ocean
+    depth = jnp.sum(in_surf * dzt.reshape(km, 1, 1), axis=0)
+    nreg = jnp.sum((label == idx) & ocean, axis=0)
+    return depth, nreg
+
+
+def convct_full(ts, kmt, eos_c, eos_to, eos_so, dztxcl, max_iter=None,
+                use_pallas=False, interpret=False):
+    """Complete convective adjustment (convct2 fixed point).
+
+    Returns tracers with every column's final profile statically stable:
+    any two vertically adjacent mixed regions are stable at their
+    interface w.r.t. the interface reference level.
+
+    use_pallas: apply the final region means through the VMEM-resident
+    kernel (TPU perf path; numerics identical, see
+    tests/test_ops.py::test_convct_full_pallas_apply).
+    """
+    nt, km = ts.shape[0], ts.shape[1]
+    w = dztxcl.reshape(km, 1, 1)
+    idx = jnp.arange(km).reshape(km, 1, 1)
+    ocean = (idx < kmt[None]).astype(ts.dtype)
+    label = _stable_labels(ts, kmt, eos_c, eos_to, eos_so, dztxcl,
+                           max_iter)
     if use_pallas or interpret:
         same = (label[:, None] == label[None, :]).astype(ts.dtype)
         wfull = jnp.broadcast_to(w, ts.shape[1:])
