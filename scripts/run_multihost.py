@@ -49,6 +49,9 @@ def main():
     p.add_argument("--cpu-mesh", type=int, default=0,
                    help="force an N-device virtual CPU mesh (validation "
                         "without hardware; conftest.py pattern)")
+    p.add_argument("--out", default=None,
+                   help="write a JSON artifact (process 0 only): mesh, "
+                        "device counts, ms/step, state checksum")
     args = p.parse_args()
 
     if args.cpu_mesh:
@@ -135,9 +138,25 @@ def main():
     jax.block_until_ready(state)
     dt_step = (time.time() - t0_w) / args.steps
     nan = bool(jnp.isnan(state.t).any())
+    # cross-run comparison checksum: a collective sum every process
+    # agrees on (the 2-process run must match the 1-process run)
+    checksum = float(jnp.sum(state.t[0], dtype=jnp.float32))
+    ke = float(jnp.sum(state.u ** 2, dtype=jnp.float32))
     if args.coordinator is None or jax.process_index() == 0:
         print(f"{args.steps} sharded steps: {dt_step*1e3:.2f} ms/step, "
-              f"nan={nan}", flush=True)
+              f"nan={nan} checksum={checksum!r}", flush=True)
+        if args.out:
+            import json
+            with open(args.out, "w") as f:
+                json.dump(dict(
+                    processes=(jax.process_count()
+                               if args.coordinator else 1),
+                    global_devices=ndev,
+                    local_devices=len(jax.local_devices()),
+                    mesh=list(shape), steps=args.steps,
+                    ms_per_step=round(dt_step * 1e3, 2),
+                    checksum_t0=checksum, checksum_ke=ke,
+                    nan=nan), f)
     assert not nan
 
 

@@ -132,3 +132,41 @@ def test_coupled_segment_sharded():
     np.testing.assert_allclose(np.asarray(jax.device_get(out.ice.hice)),
                                np.asarray(ref.ice.hice),
                                rtol=1e-9, atol=1e-11)
+
+
+def test_deterministic_tsi_bitwise_across_meshes():
+    """deterministic_reductions (VERDICT r4 #10): the SAME state laid
+    out on a (1,1)-style replicated placement and on a (2,4) mesh must
+    produce BIT-identical tsi scalars — the per-column device partials
+    are mesh-invariant (k never sharded) and the horizontal sum runs
+    on the host in fixed order."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from uvic_tpu.diag.tsi import TsiDiagnostics
+
+    m, state, forcing = _ocean_setup()
+    state = m.step(state, forcing, leapfrog=False)
+    for _ in range(4):
+        state = m.step(state, forcing, leapfrog=True)
+
+    tsi = TsiDiagnostics(m, deterministic=True)
+    row_single = tsi.compute(state)
+
+    mesh = make_mesh((2, 4))
+    spec = P(None, "y", "x")
+
+    def shard(x):
+        arr = jnp.asarray(x)
+        if arr.ndim == 3:
+            return jax.device_put(arr, NamedSharding(mesh, spec))
+        if arr.ndim == 2:
+            return jax.device_put(arr, NamedSharding(mesh, P("y", "x")))
+        return arr
+
+    state_sh = jax.tree_util.tree_map(shard, state)
+    row_sharded = tsi.compute(state_sh)
+
+    assert set(row_single) == set(row_sharded)
+    for k in row_single:
+        assert row_single[k] == row_sharded[k], \
+            f"{k}: {row_single[k]!r} != {row_sharded[k]!r} (not bitwise)"

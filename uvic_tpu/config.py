@@ -283,6 +283,10 @@ class ParallelConfig:
     mesh_shape: Tuple[int, int] = (1, 1)       # devices along (y, x)
     axis_names: Tuple[str, str] = ("y", "x")
     halo: int = 2                              # cover FCT + GM in one exchange
+    # reduction-order-independent tsi/audit scalars: per-column device
+    # partials + fixed-order host f64 sums, so different mesh layouts
+    # emit bit-identical diagnostics (SURVEY 2.9 reduction budget)
+    deterministic_reductions: bool = False
 
 
 @dataclass(frozen=True)

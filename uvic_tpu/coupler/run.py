@@ -48,7 +48,9 @@ class Run:
         self.tm = TimeManager(eqyear=tcfg.eqyear, year0=tcfg.year0,
                               month0=tcfg.month0, day0=tcfg.day0)
         self.switches = Switches.from_config(tcfg)
-        self.tsi = TsiDiagnostics(model.ocean, model.embm)
+        self.tsi = TsiDiagnostics(
+            model.ocean, model.embm,
+            deterministic=model.cfg.parallel.deterministic_reductions)
         self.tsi_writer = TsiWriter(os.path.join(outdir, "tsi.csv"))
         self.tavg = TavgAccumulator()
         self.audit = ConservationAudit(
