@@ -87,10 +87,23 @@ def yearly_diags(m, state, acc_sum, v_ann, psi_ann, ice_samples, area,
     extra = {}
     if moc_res is not None:
         yu = np.asarray(m.grid.yu)
+        zt_m = np.asarray(m.grid.zt) / 1e2
         exq = np.abs(yu) > 5.0
         mr = moc_res[:, exq]
+        jmap = np.where(exq)[0]
+
+        def loc(flat_arg):
+            kk, jj = np.unravel_index(flat_arg, mr.shape)
+            return [round(float(yu[jmap[jj]]), 1),
+                    round(float(zt_m[kk]), 0)]
+
         extra = dict(moc_res_max=round(float(mr.max()), 1),
-                     moc_res_min=round(float(mr.min()), 1))
+                     moc_res_min=round(float(mr.min()), 1),
+                     # (lat_deg, depth_m) of the extrema: separates the
+                     # gyre-boundary shallow cells and the SO deep-
+                     # convection cell from genuine interior anomalies
+                     moc_res_max_loc=loc(mr.argmax()),
+                     moc_res_min_loc=loc(mr.argmin()))
         if amoc is not None:
             extra["amoc_sv"] = round(amoc, 1)
     return dict(
