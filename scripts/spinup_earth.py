@@ -30,6 +30,28 @@ import uvic_tpu
 uvic_tpu.enable_compile_cache()
 
 
+def _psi_loc(psi_ann, m):
+    """(lat, lon) of the |psi| maximum — separates the ACC from the
+    transient SO deep-convection barotropic vortices."""
+    p = np.abs(np.asarray(psi_ann))
+    jj, ii = np.unravel_index(p.argmax(), p.shape)
+    return [round(float(np.asarray(m.grid.yu)[jj]), 1),
+            round(float(np.asarray(m.grid.xu)[ii]) % 360.0, 1)]
+
+
+def _drake_transport(psi_ann, m):
+    """ACC transport [Sv]: psi range along a meridional section through
+    Drake Passage (the observable the ~130-170 Sv estimates measure,
+    unlike the global |psi| max which tracks transient convection
+    vortices)."""
+    yu = np.asarray(m.grid.yu)
+    xu = np.asarray(m.grid.xu) % 360.0
+    i = int(np.argmin(np.abs(xu - 292.0)))
+    jsel = (yu > -66.0) & (yu < -54.0)
+    sec = np.asarray(psi_ann)[jsel, i]
+    return round(float(sec.max() - sec.min()) / 1e12, 1)
+
+
 def yearly_diags(m, state, acc_sum, v_ann, psi_ann, ice_samples, area,
                  oarea, lat, vgm_ann=None, amask=None):
     import jax.numpy as jnp
@@ -117,6 +139,8 @@ def yearly_diags(m, state, acc_sum, v_ann, psi_ann, ice_samples, area,
         ice_sh_min=round(float(ice_sh.min()), 2),
         ice_sh_max=round(float(ice_sh.max()), 2),
         psi_max=round(float(np.abs(psi_ann).max()) / 1e12, 1),
+        psi_max_loc=_psi_loc(psi_ann, m),
+        acc_drake_sv=_drake_transport(psi_ann, m),
         moc_max=round(float(moc.max()), 1),
         moc_min=round(float(moc.min()), 1),
         moc_max_exeq=round(float(moc_x.max()), 1),

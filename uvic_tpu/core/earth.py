@@ -392,12 +392,14 @@ def earth_atm_diff(grid: Grid):
     # carry the same high-latitude rise
     polar_nh = 1.0 / (1.0 + np.exp(-(lat - 63.0) / 5.0))
     polar_sh = 1.0 / (1.0 + np.exp(-(-lat - 63.0) / 5.0))
-    # SH polar enhancement 2.0 -> 3.2 (round-5, exp_shdiff.py): melts
-    # the 2x-observed SH winter pack back toward ~25 Mkm^2 by carrying
-    # more heat to the winter ice edge, with SAT/TOA/NH ice neutral
+    # SH polar enhancement 2.0 -> 4.0 (round-5, exp_shdiff.py then the
+    # r5main trajectory): melts the 2x-observed SH winter pack back
+    # toward ~25 Mkm^2 by carrying more heat to the winter ice edge,
+    # with SAT/TOA/NH ice neutral (3.2 stalled at ~29 Mkm^2 with a
+    # multidecadal convection/ice oscillation of +-3)
     dt_ = 5.0e9 * (0.9 + 1.5 * _gauss(lat, 47.0, 13.0)
                    + 1.8 * _gauss(lat, -52.0, 14.0)
-                   + 2.8 * polar_nh + 3.2 * polar_sh)
+                   + 2.8 * polar_nh + 4.0 * polar_sh)
     dq = 5.0e9 * (0.9 + 0.7 * _gauss(lat, 0.0, 11.0))
     jmt, imt = grid.jmt, grid.imt
     return (np.broadcast_to(dt_[:, None], (jmt, imt)).copy(),

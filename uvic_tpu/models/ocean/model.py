@@ -764,7 +764,8 @@ class OceanModel:
     def run_restoring(self, state: OceanState, smf,
                       sst_field=None, sss_field=None, nseg: int = 1,
                       seg_days: float = 30.0, relyr0: float = 0.0,
-                      yrlen: float = 365.0) -> OceanState:
+                      yrlen: float = 365.0,
+                      climatology: str = "seasonal") -> OceanState:
         """Ocean-only production driver with Newtonian surface
         restoring (O_restorst, data.F:119-142): each segment
         interpolates the SST/SSS climatology at the segment midpoint,
@@ -776,10 +777,23 @@ class OceanModel:
         smf : (2, jmt, imt) wind stress; sst_field/sss_field :
         io.timeforce.TimeInterpField or None.
         """
-        from ...io.timeforce import default_surface_climatology
+        from ...io.timeforce import (TimeInterpField,
+                                     default_surface_climatology)
         if sst_field is None and sss_field is None:
-            sst_field, sss_field = default_surface_climatology(
-                self.params.grid, dtype=self.cfg.np_dtype)
+            if climatology == "bcest":
+                # annual-mean Levitus/H&R zonal estimates (bcest.F) —
+                # the reference's idealized standalone-ocean restoring
+                from ...io.bcest import bcest_fields
+                f = bcest_fields(self.params.grid,
+                                 dtype=self.cfg.np_dtype)
+                sst_field = TimeInterpField(f["sst"][None],
+                                            dtype=self.cfg.np_dtype)
+                sss_field = TimeInterpField(
+                    (f["sss"][None] - 35.0) / 1000.0,
+                    dtype=self.cfg.np_dtype)
+            else:
+                sst_field, sss_field = default_surface_climatology(
+                    self.params.grid, dtype=self.cfg.np_dtype)
         nsteps = max(1, round(seg_days * 86400.0 / self.cfg.ocean.dtts))
         stf0 = jnp.zeros((self.nt, self.params.grid.jmt,
                           self.params.grid.imt), self.cfg.np_dtype)
