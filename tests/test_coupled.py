@@ -236,3 +236,37 @@ def test_convect_brine_coupled():
     assert abs(salt0 - salt1) / scale < 0.1, (salt0, salt1)
     # the pathways genuinely differ somewhere in the column
     assert float(jnp.abs(s0.ocean.t[1] - s1.ocean.t[1]).max()) > 0.0
+
+
+def test_debug_nan_bisector():
+    """SURVEY 5.2 step-level sanitizer: nan_report names poisoned
+    leaves with locations; bisect_segment replays a segment phase by
+    phase and attributes the first non-finite value (clean state ->
+    ok=True; poisoned ice thickness -> caught in the atm/ice phase)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uvic_tpu.config import small_config
+    from uvic_tpu.coupler.driver import CoupledModel
+    from uvic_tpu.debug import bisect_segment, nan_report
+
+    cfg = small_config()
+    cfg = cfg.replace(ocean=dataclasses.replace(
+        cfg.ocean, isopycmix=False, gent_mcwilliams=False,
+        dtts=43200.0, dtuv=1800.0, dtsf=1800.0, tolrsf=1e8))
+    m = CoupledModel(cfg)
+    state = m.init_state()
+    state = m.run_segment(state)
+    assert nan_report(state) == []
+    res = bisect_segment(m, state, max_substeps=2)
+    assert res["ok"], res
+
+    bad = state.replace(ice=state.ice.replace(
+        hice=state.ice.hice.at[5, 5].set(jnp.nan)))
+    rep = nan_report(bad)
+    assert any("hice" in k for k, n, loc in rep)
+    res = bisect_segment(m, bad, max_substeps=2)
+    assert not res["ok"]
+    assert "atm_ice" in res["phase"] or "ocean" in res["phase"]
