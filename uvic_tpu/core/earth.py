@@ -89,6 +89,18 @@ GREENLAND = [
     (330.0, 82.5), (338.0, 77.0), (335.0, 70.0), (322.0, 65.0),
 ]
 
+# Lincoln-Sea bridge: northern Greenland reaches 83.6 N and the
+# permanently grounded/ridged pack closes the gap to the pole at this
+# resolution.  Without it every land polygon stops south of ~83 N and
+# the grid has an OPEN CYCLIC CHANNEL around the North Pole — a free
+# zonal mode that spun up to a 286-460 Sv circumpolar Arctic jet (the
+# round-4/5 psi_max "oscillation" was this vortex, located by the
+# psi_max_loc diagnostic at 86 N).  The reference's kmt data closes
+# the polar channel the same way (its Arctic is enclosed).
+GREENLAND_POLAR = [
+    (300.0, 81.0), (304.0, 90.0), (330.0, 90.0), (331.0, 81.0),
+]
+
 NEW_GUINEA = [
     (131.0, -1.5), (141.0, -3.0), (147.0, -6.0), (150.5, -10.0),
     (143.0, -9.0), (134.0, -4.0),
@@ -100,7 +112,7 @@ MADAGASCAR = [
 ]
 
 POLYGONS = [AFRICA, EURASIA, AMERICAS, AUSTRALIA, GREENLAND,
-            NEW_GUINEA, MADAGASCAR]
+            GREENLAND_POLAR, NEW_GUINEA, MADAGASCAR]
 
 # Antarctica: everything south of this latitude, plus the peninsula
 ANTARCTIC_LAT = -70.2
