@@ -213,6 +213,22 @@ class IceConfig:
     # stress (sig) is intentionally computed from the UNCLAMPED
     # velocities — the cap only protects the advection operator.
     cfl_cap: bool = True
+    # how the ice transmits momentum to the ocean:
+    #   "draglaw"  (default): the ocean feels the quadratic ice-ocean
+    #     drag tau_io = rho c_w |ui-uo| (ui-uo) (with the EVP turning
+    #     angle) over the ice-covered fraction — the reaction to the
+    #     water-drag term ALREADY inside the EVP ice momentum balance
+    #     (evp.F:537-653), so ice and ocean exchange equal-and-opposite
+    #     stress and a jammed pack transmits ~nothing;
+    #   "freedrift": the reference's approximation — tau_air + the
+    #     internal stress divergence xint, unbounded (embm.F:188-201).
+    #     Valid in free drift but it passes the raw ridging force
+    #     (O(100 dyn/cm^2) at converging polar cells) into the ocean;
+    #     with the enclosed Arctic this spun a several-hundred-Sv
+    #     barotropic gyre (round-5 diagnosis: the psi_max oscillation).
+    ice_ocn_stress: str = "draglaw"
+    # optional |xint| bound [dyn/cm^2] in freedrift mode (0 = none)
+    ice_ocn_stress_cap: float = 5.0
 
 
 @dataclass(frozen=True)

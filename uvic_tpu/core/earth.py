@@ -323,6 +323,14 @@ def earth_wind_stress(grid: Grid) -> np.ndarray:
           - 0.25 * _gauss(lat, 75.0, 7.0) - 0.15 * _gauss(lat, -66.0, 6.0))
     # meridional component: trade-wind convergence toward the ITCZ
     ty = (-0.20 * _gauss(lat, 12.0, 8.0) + 0.20 * _gauss(lat, -12.0, 8.0))
+    # central-Arctic taper (round 5): the polar-easterly band belongs
+    # to the Beaufort High at ~75-80 N; extending its curl over the
+    # enclosed basin (beta ~ 0, H = 2.5 km) drove the pack — and via
+    # the ice-ocean drag the barotropic mode — into a persistent
+    # ~150 Sv polar gyre.  Observed central-Arctic stress curl is weak.
+    taper_n = 1.0 / (1.0 + np.exp((lat - 81.0) / 1.5))
+    tx = tx * taper_n
+    ty = ty * taper_n
     jmt, imt = grid.jmt, grid.imt
     return np.stack([np.broadcast_to(tx[:, None], (jmt, imt)),
                      np.broadcast_to(ty[:, None], (jmt, imt))]).copy()

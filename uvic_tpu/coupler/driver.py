@@ -440,7 +440,34 @@ class CoupledModel:
         # present, the ice internal stress divergence (embm.F:188-201
         # flux(nat+1) += dts*(sbc(itaux) + xint) over U cells)
         taux_o, tauy_o = taux_w, tauy_w
-        if xint is not None:
+        if xint is not None and self.cfg.ice.ice_ocn_stress == "draglaw":
+            # ocean-side ice stress = reaction to the EVP water drag
+            # (IceConfig.ice_ocn_stress): tau_io = rho c_w |du| R(du)
+            # with the turning angle, blended by the ice fraction at
+            # U points.  A jammed pack (ui -> 0 with uo small)
+            # transmits only this drag, not the ridging force.
+            from ..models.ice.evp import COSTH, DRAGW_RHO, SINTH
+            ui, vi = ice.uice[0], ice.uice[1]
+            dux = ui - uocn
+            dvy = vi - vocn
+            vrel = DRAGW_RHO * jnp.sqrt(dux ** 2 + dvy ** 2)
+            sinth_s = jnp.sign(self.fcor_u) * SINTH
+            tio_x = vrel * (COSTH * dux - sinth_s * dvy)
+            tio_y = vrel * (COSTH * dvy + sinth_s * dux)
+            a = ice.aice
+            from ..ops.stencil import E as _E, N as _N
+            aice_u = 0.25 * (a + _N(a) + _E(a) + _N(_E(a)))
+            taux_o = taux_w * (1.0 - aice_u) \
+                + (tio_x * aice_u) * self.umsk
+            tauy_o = tauy_w * (1.0 - aice_u) \
+                + (tio_y * aice_u) * self.umsk
+        elif xint is not None:
+            cap = self.cfg.ice.ice_ocn_stress_cap
+            if cap > 0.0:
+                mag = jnp.sqrt(xint ** 2 + yint ** 2)
+                scl = jnp.minimum(1.0, cap / jnp.maximum(mag, 1e-12))
+                xint = xint * scl
+                yint = yint * scl
             taux_o = taux_w + xint * self.umsk
             tauy_o = tauy_w + yint * self.umsk
         # TOA energy budget fields (global_sums.F planetary balance):
