@@ -111,8 +111,16 @@ MADAGASCAR = [
     (43.2, -16.0),
 ]
 
+# NOTE (round 5): a Lincoln-Sea land bridge closing the polar channel
+# was tried (GREENLAND_POLAR below) and reverted: the enclosed-basin
+# adjustment repeatedly destabilized the 7-40 km polar cells (the
+# collapsing channel jet NaN'd against the wall even after polar
+# dynamic resets).  The channel mode itself is instead removed at its
+# SOURCE: the ice->ocean drag-law coupling plus the central-Arctic
+# wind-stress taper eliminate the persistent torque that spun it to
+# 286-460 Sv.  GREENLAND_POLAR is kept for reference but NOT active.
 POLYGONS = [AFRICA, EURASIA, AMERICAS, AUSTRALIA, GREENLAND,
-            GREENLAND_POLAR, NEW_GUINEA, MADAGASCAR]
+            NEW_GUINEA, MADAGASCAR]
 
 # Antarctica: everything south of this latitude, plus the peninsula
 ANTARCTIC_LAT = -70.2
