@@ -120,6 +120,13 @@ class OceanConfig:
     eb: bool = False                           # Euler backward (vs forward) mixing
     ncon: int = 1                              # convection passes (ncon scheme)
     cdbot: float = 1.3e-3                      # bottom drag coefficient
+    # polar-cap bottom-drag enhancement (round 5): the enclosed Arctic
+    # basin (beta ~ 0, H ~ 2.5 km, 7-40 km cells) integrates any weak
+    # residual torque into a slowly growing barotropic gyre; scaling
+    # the quadratic bottom drag by this factor north of cdbot_polar_lat
+    # bounds it locally (a standard polar sponge; no effect elsewhere)
+    cdbot_polar_scale: float = 1.0
+    cdbot_polar_lat: float = 83.0
     acor: float = 0.0                          # implicit coriolis factor
     # O_restorst: Newtonian surface restoring toward climatology
     # (uncoupled-ocean path; see io/timeforce.restoring_stf)
@@ -358,7 +365,7 @@ def earth_config(dtype: str = "float32", accel: float = 1.0,
             # eddy heat transport to the ice edge.  1.6e7 blew up a
             # spun-up state after ~8 years (GM eddy velocity over the
             # accelerated deep advective CFL); 1.2e7 is stable
-            athkdf=1.2e7),
+            athkdf=1.2e7, cdbot_polar_scale=20.0),
         embm=_dc.replace(cfg.embm, seasonal=True),
         land=_dc.replace(cfg.land, enabled=True))
     return cfg

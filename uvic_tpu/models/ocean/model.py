@@ -327,6 +327,20 @@ class OceanModel:
 
         # fused Pallas CG for the barotropic solve: single-device TPU
         # runs only (sharded runs use the collective-friendly jnp path)
+        # bottom-drag coefficient field (OceanConfig.cdbot_polar_*):
+        # scalar everywhere, enhanced over the polar cap
+        yu_arr = np.asarray(self.params.grid.yu)
+        polar_w = 1.0 / (1.0 + np.exp(-(yu_arr
+                                        - cfg.ocean.cdbot_polar_lat)
+                                      / 1.5))
+        cdbot_j = cfg.ocean.cdbot * (
+            1.0 + (cfg.ocean.cdbot_polar_scale - 1.0) * polar_w)
+        self.cdbot2d = jnp.asarray(
+            np.broadcast_to(cdbot_j[:, None],
+                            (self.params.grid.jmt,
+                             self.params.grid.imt)).copy(),
+            cfg.np_dtype)
+
         self.cg_solver = None
         try:
             on_tpu = jax.default_backend() == "tpu"
@@ -493,7 +507,8 @@ class OceanModel:
             kb = jnp.maximum(self.kmu - 1, 0)
             ub = jnp.take_along_axis(u_tm1, kb[None, None], axis=1)[:, 0]
             uvmag = jnp.sqrt(ub[0] ** 2 + ub[1] ** 2)
-            bmf = cfg.cdbot * ub * uvmag[None] * (self.kmu > 0)[None]
+            bmf = self.cdbot2d[None] * ub * uvmag[None] \
+                * (self.kmu > 0)[None]
         else:
             bmf = jnp.zeros_like(smf)
 
