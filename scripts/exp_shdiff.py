@@ -24,8 +24,8 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("years", type=int)
-    p.add_argument("--polar-sh", type=float, default=3.2,
-                   help="SH polar diff_t enhancement (base 3.2)")
+    p.add_argument("--polar-sh", type=float, default=4.0,
+                   help="SH polar diff_t enhancement (production 4.0)")
     p.add_argument("--so-coalb", type=float, default=-0.005,
                    help="SO coalbedo gaussian amplitude at 57S "
                         "(base -0.005)")

@@ -10,9 +10,9 @@ two restart branches and its drift headline was a polyfit artifact):
 - the selected window must be STRICTLY CONTIGUOUS: year[i+1] ==
   year[i] + 1 for every row, else the script refuses;
 - if rows carry a ``run_id`` (written by spinup_earth.py since r5),
-  the window must be single-branch (one run id per restart lineage is
-  not required — a resumed run gets a new id — but the year sequence
-  must still be contiguous and any duplicate year aborts);
+  the window must hold exactly ONE run id: a last-write-wins stitch
+  across branches is refused (resume a lineage with the same
+  --run-id, or pick --end-year inside one branch);
 - if rows carry ``accel``, the window must be unaccelerated
   (accel == 1.0) unless --allow-accel is passed;
 - the drift is recomputed from the emitted yearly series itself, so a
@@ -55,6 +55,12 @@ def select_window(rows, last_n, end_year=None, allow_accel=False):
         raise SystemExit(
             f"refusing: window contains accelerated years ({accels}); "
             "pass --allow-accel to override")
+    run_ids = {r.get("run_id", "untagged") for r in window}
+    if len(run_ids) > 1:
+        raise SystemExit(
+            f"refusing: window mixes runs {sorted(run_ids)} — a "
+            "last-write-wins stitch across branches is exactly the r4 "
+            "interleaving failure; pick --end-year inside one branch")
     return window
 
 
@@ -102,13 +108,22 @@ def main(log_path, out_path, last_n=50, end_year=None,
 
 
 if __name__ == "__main__":
-    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     end_year = None
-    if "--end-year" in sys.argv:
-        ey = sys.argv[sys.argv.index("--end-year") + 1]
-        end_year = int(ey)
-        pos = [a for a in pos if a != ey]
+    allow_accel = False
+    pos = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--end-year":
+            end_year = int(argv[i + 1])
+            i += 2
+        elif a == "--allow-accel":
+            allow_accel = True
+            i += 1
+        else:
+            pos.append(a)
+            i += 1
     main(pos[0], pos[1],
          int(pos[2]) if len(pos) > 2 else 50,
-         end_year=end_year,
-         allow_accel="--allow-accel" in sys.argv)
+         end_year=end_year, allow_accel=allow_accel)

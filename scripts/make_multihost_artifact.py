@@ -8,7 +8,9 @@ Runs scripts/run_multihost.py twice on this machine:
    (process 0 is the coordinator; collectives cross the process
    boundary over gRPC — the same wire path a DCN slice uses),
 
-with the same (2, 4) mesh and step count, then asserts the global mesh
+with the same (2, 3) mesh (the largest divisor of the 102-point
+grid; 6 of the 8 devices participate, spanning the process boundary)
+and step count, then asserts the global mesh
 formed (2 processes x 4 local = 8 global devices) and the final-state
 checksums agree, and writes MULTIHOST_r05.json.
 

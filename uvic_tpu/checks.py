@@ -268,6 +268,11 @@ def validate(cfg: ModelConfig) -> List[str]:
         if ic.cpts > 0 and ic.nlay < 1:
             errors.append("cpts ice needs nlay >= 1 enthalpy layers "
                           "(cpts.F)")
+        if ic.ice_ocn_stress not in ("draglaw", "freedrift"):
+            errors.append(
+                f"unknown ice_ocn_stress '{ic.ice_ocn_stress}' "
+                "(draglaw | freedrift) — a typo would silently fall "
+                "back to the capped free-drift coupling")
     elif cfg.embm.enabled:
         warnings.append("EMBM without the ice model: polar oceans "
                         "cannot form ice; SST clamps at freezing "
@@ -301,9 +306,10 @@ def validate(cfg: ModelConfig) -> List[str]:
                             "uses a fixed alk proxy — carbonate "
                             "chemistry fidelity is reduced "
                             "(co2calc.F expects alk)")
-        if b.cfc and b.suite == "none":
-            errors.append("cfc tracers need an active bgc tracer "
-                          "registry")
+
+
+    if b.cfc and b.suite == "none":
+        errors.append("cfc tracers need an active bgc tracer registry")
 
     # --- sediments (sed.F) ---------------------------------------------
     if cfg.sed.enabled:

@@ -75,6 +75,15 @@ class Run:
         state = load_restart(self.restart_path(tag), template, self.tm)
         # keep the host-side coupler clock consistent with the calendar
         self.m.relyr = self.tm.days / self.tm.yrlen
+        # resume the tavg stream instead of truncating it: the first
+        # write after a resume must APPEND to the existing records
+        tavg_path = os.path.join(self.outdir, "tavg.nc")
+        if self._tavg_n == 0 and os.path.exists(tavg_path):
+            try:
+                from ..io.netcdf import read_var
+                self._tavg_n = int(read_var(tavg_path, "time").shape[0])
+            except Exception:
+                self._tavg_n = 1    # unreadable: still never truncate
         return state
 
     # -- the loop ---------------------------------------------------------

@@ -4,10 +4,14 @@ The production Run already guards yearly inventories (NaN -> abort with
 saved restart).  This module is the step-level instrument for WHEN a
 run dies: ``nan_report`` walks any state pytree and names every
 non-finite leaf with its first offending location; ``bisect_segment``
-replays ONE coupled segment phase by phase (atm/ice substeps, land,
-sediments, gosbc forcing, ocean substeps) outside the fused program
-and reports the first phase — and for the scanned phases the first
-substep — that introduces a non-finite value.
+replays the CORE of one coupled segment phase by phase (atm/ice
+substeps, gosbc forcing, ocean substeps) outside the fused program and
+reports the first phase — and for the scanned phases the first
+substep — that introduces a non-finite value.  Limits: the land and
+sediment sub-models and the transient forcings (anthro, awind,
+sulphate, land ice) are NOT replayed; a NaN born only in those paths
+will not reproduce here — use ``nan_report`` on the dying state to see
+which component is poisoned first.
 
 Usage (host-side, not jitted):
 

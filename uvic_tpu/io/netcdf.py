@@ -124,10 +124,30 @@ def write_tavg(path: str, grid, fields: dict, time_days: float,
         tv = f.variables["time"]
         rec = tv.shape[0] if tv.shape and tv.shape[0] else 0
         tv[rec] = time_days
+        written = set()
         for name, data in fields.items():
             data = np.asarray(data)
             if name in f.variables and data.ndim in (2, 3):
                 f.variables[name][rec] = data.astype(np.float32)
+                written.add(name)
+        if mode == "a":
+            # a config change between resume legs must not silently
+            # corrupt the stream: fields missing from this call leave
+            # zero-filled planes, new fields cannot be added to a
+            # NetCDF3 file — surface both
+            coords = {"time", "longitude", "latitude", "depth"}
+            stale = set(f.variables) - coords - written
+            dropped = {k for k, v in fields.items()
+                       if k not in f.variables
+                       and getattr(np.asarray(v), "ndim", 0) in (2, 3)}
+            if stale or dropped:
+                import warnings
+                warnings.warn(
+                    f"tavg append to {path}: record {rec} leaves "
+                    f"{sorted(stale)} zero-filled and cannot add "
+                    f"{sorted(dropped)} (NetCDF3 fixed schema) — the "
+                    "field set changed since the stream was created",
+                    stacklevel=2)
     finally:
         f.close()
 
